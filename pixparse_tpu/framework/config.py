@@ -1,0 +1,57 @@
+"""Shared train/eval config dataclasses.
+
+Flag-surface parity with reference ``framework/config.py:5-39``; additions are
+TPU-specific knobs (mesh axis sizes) that default to the reference behaviour
+(pure data parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class OptimizationCfg:
+    optimizer: str = "adamw"
+    scheduler: str = "cosine"
+    learning_rate: float = 5e-4
+    warmup_learning_rate: float = 0.0
+    weight_decay: float = 0.02
+    eps: float = 1e-6
+    clip_grad_value: Optional[float] = None
+    clip_grad_mode: Optional[str] = None  # 'norm' | 'value' | 'agc'(->norm)
+    grad_accum_steps: int = 1
+    momentum: Optional[float] = None
+    betas: Optional[Tuple[float, float]] = None
+    layer_decay: Optional[float] = None
+
+
+@dataclass
+class MeshCfg:
+    """TPU mesh axis sizes. 0/None = infer: data axis absorbs all remaining
+    devices. Reference parity = all-data (DDP equivalent)."""
+
+    data: int = 0  # 0 => all remaining devices
+    fsdp: int = 1
+    model: int = 1
+
+
+@dataclass
+class TaskTrainCfg:
+    num_intervals: int = 100
+    num_warmup_intervals: int = 5
+    eval_frequency: int = 1000
+    opt: OptimizationCfg = field(default_factory=OptimizationCfg)
+    dtype: Optional[str] = None  # compute dtype: 'bfloat16'/'bf16'/'float16'/None(fp32)
+    amp: bool = True  # kept for flag parity; TPU path = bf16 compute policy
+    model_name: str = ""
+    mesh: MeshCfg = field(default_factory=MeshCfg)
+
+
+@dataclass
+class TaskEvalCfg:
+    dtype: Optional[str] = None
+    amp: bool = True
+    model_name: str = ""
+    mesh: MeshCfg = field(default_factory=MeshCfg)

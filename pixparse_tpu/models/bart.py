@@ -1,0 +1,379 @@
+"""First-party flax BART-style causal decoder with cross-attention.
+
+Replaces the reference's HF ``BartForCausalLM`` construction
+(``models/text_decoder_hf.py:10-37`` in /root/reference): same architecture
+(post-LN transformer decoder, learned positions with the BART +2 offset,
+embedding layernorm, GELU FFN, tied LM head, ``decoder_layers`` /
+``max_position_embeddings`` overrides, cross-attention over image-encoder
+tokens), built TPU-first:
+
+- one module serves three statically-selected modes: parallel teacher-forced
+  forward (training), ``prefill`` (fills the self-attention KV cache from a
+  prompt and caches cross-attention K/V computed once per image), and
+  ``decode`` (single-token step against the cache). The generation loop in
+  :mod:`pixparse_tpu.ops.generation` jits prefill once and runs decode steps
+  inside ``lax.while_loop`` — replacing the reference's O(L^2) full-prefix
+  recompute loops (SURVEY.md §3.4).
+- static shapes everywhere: the cache is a preallocated ``(B, max_len, H, D)``
+  buffer, key validity is a mask, no dynamic concatenation.
+- params carry logical axis names for mesh sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pixparse_tpu.ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+@dataclasses.dataclass(frozen=True)
+class BartDecoderCfg:
+    vocab_size: int = 50265
+    d_model: int = 768
+    decoder_layers: int = 4
+    decoder_attention_heads: int = 12
+    decoder_ffn_dim: int = 3072
+    max_position_embeddings: int = 1024
+    activation: str = "gelu"
+    scale_embedding: bool = False
+    layernorm_embedding: bool = True
+    add_final_layer_norm: bool = False
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    pad_token_id: int = 1
+    bos_token_id: int = 0
+    eos_token_id: int = 2
+    ln_eps: float = 1e-5
+    pos_offset: int = 2  # BART quirk: positional table shifted by 2
+
+
+def _dense(features, logical, name, dtype):
+    return nn.Dense(
+        features,
+        dtype=dtype,
+        kernel_init=nn.with_logical_partitioning(nn.initializers.normal(0.02), logical),
+        bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), (logical[-1],)),
+        name=name,
+    )
+
+
+def _ln(name, eps, dtype):
+    return nn.LayerNorm(
+        epsilon=eps, dtype=dtype, name=name,
+        scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+        bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
+    )
+
+
+class CachedSelfAttention(nn.Module):
+    """Causal self-attention with a preallocated decode cache.
+
+    Modes (statically selected):
+      - train: full-length causal attention, no cache
+      - prefill: writes K/V for the L prompt positions at [0, L), causal
+      - decode: writes K/V for L=1 at [index, index+1), attends over the
+        whole buffer gated by ``key_pad_mask``
+    """
+
+    cfg: BartDecoderCfg
+    max_cache_len: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, L, D)
+        pad_bias: Optional[jax.Array] = None,  # (B, 1, 1, Lk) additive
+        mode: str = "train",
+    ):
+        c = self.cfg
+        H = c.decoder_attention_heads
+        Dh = c.d_model // H
+        B, L, _ = x.shape
+
+        def split(t):
+            return t.reshape(B, L, H, Dh)
+
+        q = split(_dense(c.d_model, ("embed", "heads"), "q_proj", self.dtype)(x))
+        k = split(_dense(c.d_model, ("embed", "heads"), "k_proj", self.dtype)(x))
+        v = split(_dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)(x))
+
+        if mode == "train":
+            out = dot_product_attention(q, k, v, bias=pad_bias, causal=True, dtype=self.dtype)
+        else:
+            assert self.max_cache_len > 0, "decode modes need max_cache_len"
+            cached_k = self.variable(
+                "cache", "cached_key",
+                jnp.zeros, (B, self.max_cache_len, H, Dh), self.dtype,
+            )
+            cached_v = self.variable(
+                "cache", "cached_value",
+                jnp.zeros, (B, self.max_cache_len, H, Dh), self.dtype,
+            )
+            index = self.variable(
+                "cache", "cache_index", lambda: jnp.zeros((), jnp.int32)
+            )
+            i = index.value
+            cached_k.value = jax.lax.dynamic_update_slice(cached_k.value, k, (0, i, 0, 0))
+            cached_v.value = jax.lax.dynamic_update_slice(cached_v.value, v, (0, i, 0, 0))
+            index.value = i + L
+            # validity: keys written so far (positions < i+L), causal within
+            # the block being written
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, self.max_cache_len), 3)
+            q_pos = i + jax.lax.broadcasted_iota(jnp.int32, (1, 1, L, 1), 2)
+            valid = pos <= q_pos  # causal against absolute positions
+            bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+            if pad_bias is not None:
+                bias = bias + pad_bias.astype(jnp.float32)
+            out = dot_product_attention(
+                q, cached_k.value, cached_v.value, bias=bias, causal=False, dtype=self.dtype
+            )
+
+        out = out.reshape(B, L, c.d_model)
+        return _dense(c.d_model, ("heads", "embed"), "out_proj", self.dtype)(out)
+
+
+class CachedCrossAttention(nn.Module):
+    """Cross-attention over encoder tokens; K/V cached once per decode session."""
+
+    cfg: BartDecoderCfg
+    cache: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, L, D)
+        encoder_hidden_states: jax.Array,  # (B, Lk, D)
+        mode: str = "train",
+    ):
+        c = self.cfg
+        H = c.decoder_attention_heads
+        Dh = c.d_model // H
+        B, L, _ = x.shape
+        Lk = encoder_hidden_states.shape[1]
+
+        q = _dense(c.d_model, ("embed", "heads"), "q_proj", self.dtype)(x).reshape(B, L, H, Dh)
+
+        if mode == "train" or not self.cache:
+            k = _dense(c.d_model, ("embed", "heads"), "k_proj", self.dtype)(
+                encoder_hidden_states
+            ).reshape(B, Lk, H, Dh)
+            v = _dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)(
+                encoder_hidden_states
+            ).reshape(B, Lk, H, Dh)
+        else:
+            # prefill computes K/V once; decode reuses without recompute
+            cached_k = self.variable(
+                "cache", "cached_enc_key", jnp.zeros, (B, Lk, H, Dh), self.dtype
+            )
+            cached_v = self.variable(
+                "cache", "cached_enc_value", jnp.zeros, (B, Lk, H, Dh), self.dtype
+            )
+            if mode == "prefill":
+                cached_k.value = _dense(c.d_model, ("embed", "heads"), "k_proj", self.dtype)(
+                    encoder_hidden_states
+                ).reshape(B, Lk, H, Dh)
+                cached_v.value = _dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)(
+                    encoder_hidden_states
+                ).reshape(B, Lk, H, Dh)
+            else:
+                # keep params in scope for decode-mode tracing
+                _dense(c.d_model, ("embed", "heads"), "k_proj", self.dtype)
+                _dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)
+            k, v = cached_k.value, cached_v.value
+
+        out = dot_product_attention(q, k, v, dtype=self.dtype)
+        out = out.reshape(B, L, c.d_model)
+        return _dense(c.d_model, ("heads", "embed"), "out_proj", self.dtype)(out)
+
+
+class BartDecoderLayer(nn.Module):
+    """Post-LN decoder layer (HF Bart layout: self-attn -> LN, cross -> LN, FFN -> LN)."""
+
+    cfg: BartDecoderCfg
+    max_cache_len: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        encoder_hidden_states,
+        self_pad_bias=None,
+        mode: str = "train",
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+        dropout = nn.Dropout(rate=c.dropout)
+
+        residual = x
+        x = CachedSelfAttention(c, self.max_cache_len, self.dtype, name="self_attn")(
+            x, pad_bias=self_pad_bias, mode=mode
+        )
+        x = dropout(x, deterministic=deterministic)
+        x = _ln("self_attn_layer_norm", c.ln_eps, self.dtype)(residual + x)
+
+        residual = x
+        x = CachedCrossAttention(c, cache=mode != "train", dtype=self.dtype, name="encoder_attn")(
+            x, encoder_hidden_states, mode=mode
+        )
+        x = dropout(x, deterministic=deterministic)
+        x = _ln("encoder_attn_layer_norm", c.ln_eps, self.dtype)(residual + x)
+
+        residual = x
+        h = _dense(c.decoder_ffn_dim, ("embed", "mlp"), "fc1", self.dtype)(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(rate=c.activation_dropout)(h, deterministic=deterministic)
+        h = _dense(c.d_model, ("mlp", "embed"), "fc2", self.dtype)(h)
+        h = dropout(h, deterministic=deterministic)
+        x = _ln("final_layer_norm", c.ln_eps, self.dtype)(residual + h)
+        return x
+
+
+class BartCausalDecoder(nn.Module):
+    """BART-style causal LM with cross-attention and tied LM head.
+
+    ``__call__(input_ids, encoder_hidden_states, ...)`` returns logits
+    (B, L, V). ``mode``: 'train' | 'prefill' | 'decode' (see module docstring).
+    """
+
+    cfg: BartDecoderCfg
+    max_cache_len: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,  # (B, L)
+        encoder_hidden_states: jax.Array,  # (B, Lk, D)
+        attention_mask: Optional[jax.Array] = None,  # (B, L) 1 = attend (train)
+        key_pad_mask: Optional[jax.Array] = None,  # (B, max_cache_len) decode/prefill
+        mode: str = "train",
+        deterministic: bool = True,
+    ) -> jax.Array:
+        c = self.cfg
+        B, L = input_ids.shape
+
+        embed_tokens = nn.Embed(
+            c.vocab_size,
+            c.d_model,
+            dtype=self.dtype,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), ("vocab", "embed")
+            ),
+            name="embed_tokens",
+        )
+        embed_positions = nn.Embed(
+            c.max_position_embeddings + c.pos_offset,
+            c.d_model,
+            dtype=self.dtype,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), ("length", "embed")
+            ),
+            name="embed_positions",
+        )
+
+        if mode in ("prefill", "decode"):
+            # own position counter (mirrors the per-layer cache_index but
+            # lives at the top so position lookup never reaches into scopes)
+            pos_var = self.variable(
+                "cache", "position_offset", lambda: jnp.zeros((), jnp.int32)
+            )
+            start = pos_var.value
+            pos_var.value = start + L
+        else:
+            start = jnp.zeros((), jnp.int32)
+        positions = start + jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+
+        x = embed_tokens(input_ids)
+        if c.scale_embedding:
+            x = x * jnp.asarray(c.d_model ** 0.5, self.dtype)
+        x = x + embed_positions(positions + c.pos_offset)
+        if c.layernorm_embedding:
+            x = _ln("layernorm_embedding", c.ln_eps, self.dtype)(x)
+        x = nn.Dropout(rate=c.dropout)(x, deterministic=deterministic)
+        x = nn.with_logical_constraint(x, ("batch", "length", None))
+
+        # additive self-attention key bias from padding
+        if mode == "train":
+            pad_bias = None
+            if attention_mask is not None:
+                pad_bias = jnp.where(
+                    attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
+                )
+        else:
+            pad_bias = None
+            if key_pad_mask is not None:
+                pad_bias = jnp.where(
+                    key_pad_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
+                )
+
+        for i in range(c.decoder_layers):
+            x = BartDecoderLayer(
+                c, self.max_cache_len, self.dtype, name=f"layers_{i}"
+            )(
+                x,
+                encoder_hidden_states,
+                self_pad_bias=pad_bias,
+                mode=mode,
+                deterministic=deterministic,
+            )
+
+        if c.add_final_layer_norm:
+            x = _ln("final_norm", c.ln_eps, self.dtype)(x)
+        # tied LM head: matmul in compute dtype (bf16 on TPU, matching the
+        # reference's autocast semantics), logits surfaced in fp32 for the loss
+        logits = embed_tokens.attend(x).astype(jnp.float32)
+        return logits
+
+
+# HF-name -> architecture table (facebook/bart-base & -large layouts), so the
+# framework never needs network access or the transformers lib at runtime.
+BART_ARCH_TABLE = {
+    "facebook/bart-base": dict(
+        vocab_size=50265, d_model=768, decoder_layers=6,
+        decoder_attention_heads=12, decoder_ffn_dim=3072,
+    ),
+    "facebook/bart-large": dict(
+        vocab_size=50265, d_model=1024, decoder_layers=12,
+        decoder_attention_heads=16, decoder_ffn_dim=4096,
+    ),
+    # test-size decoder, not an HF name
+    "bart-test": dict(
+        vocab_size=512, d_model=64, decoder_layers=2,
+        decoder_attention_heads=2, decoder_ffn_dim=128,
+    ),
+}
+
+
+def resolve_bart_cfg(
+    name: str,
+    num_decoder_layers: Optional[int] = None,
+    max_length: Optional[int] = None,
+    vocab_size: Optional[int] = None,
+) -> BartDecoderCfg:
+    """Resolve an HF-style decoder name + reference overrides
+    (``models/text_decoder_hf.py:13-22``: cross-attn on, decoder_layers and
+    max_position_embeddings overridable) to a BartDecoderCfg."""
+    if name not in BART_ARCH_TABLE:
+        raise ValueError(f"unknown text decoder '{name}' (known: {sorted(BART_ARCH_TABLE)})")
+    arch = dict(BART_ARCH_TABLE[name])
+    if num_decoder_layers is not None:
+        arch["decoder_layers"] = num_decoder_layers
+    if vocab_size is not None:
+        arch["vocab_size"] = vocab_size
+    kwargs = {}
+    if max_length is not None:
+        kwargs["max_position_embeddings"] = max_length
+    return BartDecoderCfg(**arch, **kwargs)

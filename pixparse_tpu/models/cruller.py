@@ -1,0 +1,85 @@
+"""Cruller: ViT image encoder + BART-style causal text decoder.
+
+Parity: reference ``models/cruller.py:8-21`` (timm encoder + HF decoder with
+cross-attention). Here both halves are first-party flax modules; the
+composition is one jittable module whose forward is
+``encode image -> decoder cross-attends -> logits``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pixparse_tpu.models.bart import BartCausalDecoder, BartDecoderCfg, resolve_bart_cfg
+from pixparse_tpu.models.config import ModelCfg
+from pixparse_tpu.models.vit import ViT, ViTCfg, resolve_vit_cfg
+
+
+def resolve_cruller_cfgs(cfg: ModelCfg, vocab_size: Optional[int] = None):
+    """ModelCfg (registry JSON) -> concrete (ViTCfg, BartDecoderCfg, img stats)."""
+    in_chans = 1 if cfg.image_encoder.image_fmt == "L" else 3
+    vit_cfg, stats = resolve_vit_cfg(
+        cfg.image_encoder.name, tuple(cfg.image_encoder.image_size), in_chans
+    )
+    bart_cfg = resolve_bart_cfg(
+        cfg.text_decoder.name,
+        num_decoder_layers=cfg.text_decoder.num_decoder_layers,
+        max_length=cfg.text_decoder.max_length,
+        vocab_size=vocab_size,
+    )
+    return vit_cfg, bart_cfg, stats
+
+
+class Cruller(nn.Module):
+    vit_cfg: ViTCfg
+    bart_cfg: BartDecoderCfg
+    dtype: jnp.dtype = jnp.float32
+    max_cache_len: int = 0
+    attn_impl: str = "xla"
+
+    def setup(self):
+        self.image_encoder = ViT(self.vit_cfg, dtype=self.dtype, attn_impl=self.attn_impl)
+        self.text_decoder = BartCausalDecoder(
+            self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype
+        )
+
+    def __call__(
+        self,
+        image_input: jax.Array,  # (B, H, W, C) normalized
+        text_input: jax.Array,  # (B, L) token ids
+        attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        encoder_output = self.image_encoder(image_input, deterministic=deterministic)
+        return self.text_decoder(
+            text_input,
+            encoder_output,
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+        )
+
+    def encode(self, image_input: jax.Array, deterministic: bool = True) -> jax.Array:
+        return self.image_encoder(image_input, deterministic=deterministic)
+
+    def decode(
+        self,
+        input_ids: jax.Array,
+        encoder_output: jax.Array,
+        key_pad_mask: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        mode: str = "decode",
+    ) -> jax.Array:
+        """Cached decode step / prefill (see BartCausalDecoder modes); with
+        ``mode='train'`` this is a cache-free teacher-forced decoder pass."""
+        return self.text_decoder(
+            input_ids,
+            encoder_output,
+            attention_mask=attention_mask,
+            key_pad_mask=key_pad_mask,
+            mode=mode,
+            deterministic=True,
+        )

@@ -1,0 +1,246 @@
+"""First-party flax Vision Transformer encoder.
+
+Replaces the reference's timm-constructed encoder
+(``models/image_encoder_timm.py:7-42`` in /root/reference): same architecture
+family (``vit_base_patch16_224`` / ``vit_large_patch14_clip_224`` layouts,
+grayscale ``in_chans=1``, arbitrary ``img_size``, ``num_classes=0`` /
+``global_pool=''`` token-sequence output) but built TPU-first:
+
+- NHWC image layout; patch embedding as reshape + one MXU matmul (identical
+  math to the stride-p conv, no conv lowering needed),
+- static token count per config -> one fused XLA program,
+- params carry logical axis names (``embed``/``heads``/``mlp``/...) so the
+  mesh layer can shard them (fsdp/tensor-parallel) without touching this file,
+- bf16 compute / fp32 param policy via ``dtype``/``param_dtype``.
+
+Weight import from timm checkpoints is in
+:mod:`pixparse_tpu.models.torch_interop`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pixparse_tpu.ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTCfg:
+    img_size: Tuple[int, int] = (576, 448)
+    patch_size: int = 16
+    in_chans: int = 1
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    use_cls_token: bool = True
+    pre_norm: bool = False  # CLIP-style LN after patch+pos embed
+    ln_eps: float = 1e-6
+    drop_rate: float = 0.0
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        return (self.img_size[0] // self.patch_size, self.img_size[1] // self.patch_size)
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid_size
+        return gh * gw
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_patches + (1 if self.use_cls_token else 0)
+
+
+def _dense_init(logical_axes):
+    return nn.with_logical_partitioning(
+        nn.initializers.xavier_uniform(), logical_axes
+    )
+
+
+class ViTAttention(nn.Module):
+    cfg: ViTCfg
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c = self.cfg
+        head_dim = c.embed_dim // c.num_heads
+        qkv = nn.Dense(
+            3 * c.embed_dim,
+            dtype=self.dtype,
+            kernel_init=_dense_init(("embed", "heads")),
+            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("heads",)),
+            name="qkv",
+        )(x)
+        B, L, _ = qkv.shape
+        qkv = qkv.reshape(B, L, 3, c.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = dot_product_attention(q, k, v, impl=self.attn_impl, dtype=self.dtype)
+        out = out.reshape(B, L, c.embed_dim)
+        out = nn.Dense(
+            c.embed_dim,
+            dtype=self.dtype,
+            kernel_init=_dense_init(("heads", "embed")),
+            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
+            name="proj",
+        )(out)
+        return out
+
+
+class ViTMlp(nn.Module):
+    cfg: ViTCfg
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c = self.cfg
+        hidden = int(c.embed_dim * c.mlp_ratio)
+        x = nn.Dense(
+            hidden,
+            dtype=self.dtype,
+            kernel_init=_dense_init(("embed", "mlp")),
+            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("mlp",)),
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(
+            c.embed_dim,
+            dtype=self.dtype,
+            kernel_init=_dense_init(("mlp", "embed")),
+            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
+            name="fc2",
+        )(x)
+        return x
+
+
+class ViTBlock(nn.Module):
+    cfg: ViTCfg
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c = self.cfg
+        ln = lambda name: nn.LayerNorm(
+            epsilon=c.ln_eps, dtype=self.dtype, name=name,
+            scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
+        )
+        x = x + ViTAttention(c, dtype=self.dtype, attn_impl=self.attn_impl, name="attn")(
+            ln("norm1")(x), deterministic
+        )
+        x = x + ViTMlp(c, dtype=self.dtype, name="mlp")(ln("norm2")(x), deterministic)
+        return x
+
+
+class ViT(nn.Module):
+    """Token-sequence ViT encoder (no pooling, no head)."""
+
+    cfg: ViTCfg
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, images: jax.Array, deterministic: bool = True) -> jax.Array:
+        """images: (B, H, W, C) float, already normalized. Returns (B, N, D)."""
+        c = self.cfg
+        B, H, W, C = images.shape
+        p = c.patch_size
+        gh, gw = H // p, W // p
+
+        # Patchify: reshape + matmul == stride-p conv, but lowers directly to
+        # one MXU matmul over (p*p*C, D).
+        x = images.reshape(B, gh, p, gw, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, p * p * C)
+        x = nn.Dense(
+            c.embed_dim,
+            dtype=self.dtype,
+            kernel_init=_dense_init(("patch", "embed")),
+            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
+            name="patch_embed",
+        )(x.astype(self.dtype))
+
+        if c.use_cls_token:
+            cls = self.param(
+                "cls_token",
+                nn.with_logical_partitioning(nn.initializers.zeros_init(), (None, None, "embed")),
+                (1, 1, c.embed_dim),
+                jnp.float32,
+            )
+            x = jnp.concatenate([jnp.tile(cls.astype(self.dtype), (B, 1, 1)), x], axis=1)
+
+        pos = self.param(
+            "pos_embed",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(stddev=0.02), (None, "image_length", "embed")
+            ),
+            (1, c.num_tokens, c.embed_dim),
+            jnp.float32,
+        )
+        x = x + pos.astype(self.dtype)
+
+        if c.pre_norm:
+            x = nn.LayerNorm(
+                epsilon=c.ln_eps, dtype=self.dtype, name="norm_pre",
+                scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+                bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
+            )(x)
+
+        x = nn.with_logical_constraint(x, ("batch", "image_length", None))
+        for i in range(c.depth):
+            x = ViTBlock(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")(
+                x, deterministic
+            )
+        x = nn.LayerNorm(
+            epsilon=c.ln_eps, dtype=self.dtype, name="norm",
+            scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
+        )(x)
+        return x
+
+
+# timm-name -> architecture + default normalization stats. Only the families
+# the reference configs use, plus small variants for tests/dev.
+VIT_ARCH_TABLE = {
+    "vit_tiny_patch16_224": dict(embed_dim=192, depth=12, num_heads=3, patch_size=16,
+                                 mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),
+    "vit_small_patch16_224": dict(embed_dim=384, depth=12, num_heads=6, patch_size=16,
+                                  mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),
+    "vit_base_patch16_224": dict(embed_dim=768, depth=12, num_heads=12, patch_size=16,
+                                 mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),
+    "vit_large_patch14_clip_224": dict(
+        embed_dim=1024, depth=24, num_heads=16, patch_size=14, pre_norm=True,
+        mean=(0.48145466, 0.4578275, 0.40821073),
+        std=(0.26862954, 0.26130258, 0.27577711),
+    ),
+    # test-size model, not a timm name
+    "vit_test_patch16": dict(embed_dim=64, depth=2, num_heads=2, patch_size=16,
+                             mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),
+}
+
+
+def resolve_vit_cfg(
+    name: str,
+    image_size: Tuple[int, int],
+    in_chans: int,
+) -> Tuple[ViTCfg, dict]:
+    """Resolve a timm-style encoder name (tag suffixes like '.datacompxl' are
+    stripped, mirroring timm) to a ViTCfg + pretrained stats."""
+    base = name.split(".")[0]
+    if base not in VIT_ARCH_TABLE:
+        raise ValueError(f"unknown image encoder '{name}' (known: {sorted(VIT_ARCH_TABLE)})")
+    arch = dict(VIT_ARCH_TABLE[base])
+    stats = dict(mean=arch.pop("mean"), std=arch.pop("std"))
+    cfg = ViTCfg(img_size=tuple(image_size), in_chans=in_chans, **arch)
+    if image_size[0] % cfg.patch_size or image_size[1] % cfg.patch_size:
+        raise ValueError(f"image_size {image_size} not divisible by patch {cfg.patch_size}")
+    return cfg, stats
