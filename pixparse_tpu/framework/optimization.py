@@ -146,8 +146,17 @@ def layer_decay_scales(
     return jax.tree_util.tree_map_with_path(leaf_scale, params)
 
 
-def scale_by_tree(scales: Any) -> optax.GradientTransformation:
-    """Stateless per-leaf update scaling (layer-decay applier)."""
+def scale_by_layer_decay(
+    layer_decay: float, encoder_depth: int, decoder_layers: int
+) -> optax.GradientTransformation:
+    """Stateless per-leaf update scaling by parameter-path depth. Path-based
+    (computed on the update tree itself), so the transformation can be built
+    before params exist."""
+    max_depth = encoder_depth + decoder_layers + 2
+
+    def leaf_scale(path, u):
+        depth = cruller_layer_depth(_path_names(path), encoder_depth, decoder_layers)
+        return u * (layer_decay ** (max_depth - depth))
 
     def init_fn(params):
         del params
@@ -155,7 +164,7 @@ def scale_by_tree(scales: Any) -> optax.GradientTransformation:
 
     def update_fn(updates, state, params=None):
         del params
-        return jax.tree_util.tree_map(lambda u, s: u * s, updates, scales), state
+        return jax.tree_util.tree_map_with_path(leaf_scale, updates), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -223,7 +232,7 @@ def create_optimizer(
         if name == "adamw" and cfg.weight_decay:
             chain.append(
                 optax.add_decayed_weights(
-                    cfg.weight_decay, mask=default_weight_decay_mask(params)
+                    cfg.weight_decay, mask=default_weight_decay_mask
                 )
             )
     elif name in ("sgd", "momentum"):
@@ -233,7 +242,7 @@ def create_optimizer(
         if cfg.weight_decay:
             chain.append(
                 optax.add_decayed_weights(
-                    cfg.weight_decay, mask=default_weight_decay_mask(params)
+                    cfg.weight_decay, mask=default_weight_decay_mask
                 )
             )
     elif name == "lamb":
@@ -241,7 +250,7 @@ def create_optimizer(
         if cfg.weight_decay:
             chain.append(
                 optax.add_decayed_weights(
-                    cfg.weight_decay, mask=default_weight_decay_mask(params)
+                    cfg.weight_decay, mask=default_weight_decay_mask
                 )
             )
         chain.append(optax.scale_by_trust_ratio())
@@ -250,11 +259,7 @@ def create_optimizer(
 
     if cfg.layer_decay is not None and cfg.layer_decay < 1.0:
         chain.append(
-            scale_by_tree(
-                layer_decay_scales(
-                    params, cfg.layer_decay, encoder_depth, decoder_layers
-                )
-            )
+            scale_by_layer_decay(cfg.layer_decay, encoder_depth, decoder_layers)
         )
 
     chain.append(optax.scale_by_learning_rate(schedule))
