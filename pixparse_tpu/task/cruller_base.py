@@ -1,0 +1,425 @@
+"""Shared Cruller task machinery.
+
+The reference duplicates ~150 lines of device/DDP/optimizer/scheduler/AMP
+skeleton in every train task and a model/vocab-rebuild preamble in every eval
+task (SURVEY.md §7). Here that skeleton lives once:
+
+- :class:`BaseCrullerTrainTask` — tokenizer + special-token protocol, model
+  construction, sharded TrainState, jitted bf16 train step, counters,
+  monitor logging, reference-``.pt``-compatible ``state_dict``.
+- :class:`BaseCrullerEvalTask` — same vocab replay, checkpoint import, and a
+  jitted KV-cached greedy ``generate`` shared by all eval tasks (replacing
+  the reference's four hand-rolled decode loops, §3.4).
+
+Concrete tasks supply: task/prompt tokens, special-token lists, collate, and
+metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixparse_tpu.data.transforms import create_transforms
+from pixparse_tpu.framework.config import TaskEvalCfg, TaskTrainCfg
+from pixparse_tpu.framework.optimization import create_optimizer
+from pixparse_tpu.framework.task import TaskEval, TaskTrain
+from pixparse_tpu.framework.train_state import create_train_state, make_train_step
+from pixparse_tpu.models.config import ModelCfg, get_model_config
+from pixparse_tpu.models.cruller import Cruller, resolve_cruller_cfgs
+from pixparse_tpu.models.torch_interop import (
+    cruller_params_from_torch,
+    cruller_params_to_torch,
+    resize_token_embeddings,
+)
+from pixparse_tpu.ops.generation import generate
+from pixparse_tpu.ops.loss import cross_entropy_loss
+from pixparse_tpu.task.common import (
+    SPECIAL_TOKENS_FROM_PRETRAIN,
+    add_special_tokens,
+    fold_image_stats,
+)
+from pixparse_tpu.tokenizers import TokenizerCfg, TokenizerHF
+
+_logger = logging.getLogger(__name__)
+
+
+def _model_cfg_from_name(model_name: str, fallback: Optional[ModelCfg] = None) -> ModelCfg:
+    cfg = get_model_config(model_name)
+    if cfg is None:
+        if fallback is not None:
+            return fallback
+        raise ValueError(f"unknown model name {model_name!r}")
+    return cfg
+
+
+def _compute_dtype(dtype_flag: Optional[str]):
+    if dtype_flag in ("bfloat16", "bf16", "float16", "fp16"):
+        # fp16 has no TPU fast path; both map to bf16 (no GradScaler needed)
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _checkpoint_vocab(sd: Dict[str, np.ndarray]) -> Optional[int]:
+    for k, v in sd.items():
+        if k.endswith("embed_tokens.weight"):
+            return int(np.asarray(v).shape[0])
+    return None
+
+
+class CrullerVocabMixin:
+    """Tokenizer + special-token replay + checkpoint import, shared between
+    train and eval tasks."""
+
+    def setup_tokenizer(
+        self,
+        tokenizer_cfg: TokenizerCfg,
+        base_special_tokens: List[str],
+        finetune_special_tokens: Optional[List[str]] = None,
+    ):
+        """Replay the reference's token-addition history: base (pretrain)
+        tokens first, then optional finetune tokens — so token ids and
+        embedding shapes match reference checkpoints at both stages
+        (``task_cruller_finetune_CORD.py:209-223,303-328``)."""
+        self.tokenizer = TokenizerHF(tokenizer_cfg).trunk
+        add_special_tokens(self.tokenizer, base_special_tokens)
+        self.vocab_size_base = len(self.tokenizer)
+        if finetune_special_tokens:
+            self.newly_added_num = add_special_tokens(
+                self.tokenizer, finetune_special_tokens
+            )
+        else:
+            self.newly_added_num = 0
+        self.vocab_size = len(self.tokenizer)
+
+    def import_torch_params(self, state_dict, vit_cfg, bart_cfg) -> Dict[str, Any]:
+        """Reference ``.pt`` state dict -> flax params at the *current* vocab,
+        replaying the resize protocol when the checkpoint predates the
+        finetune tokens."""
+        import dataclasses as _dc
+
+        from pixparse_tpu.models.torch_interop import normalize_state_dict
+
+        sd = normalize_state_dict(state_dict)
+        ckpt_vocab = _checkpoint_vocab(sd)
+        load_cfg = bart_cfg
+        if ckpt_vocab is not None and ckpt_vocab != bart_cfg.vocab_size:
+            load_cfg = _dc.replace(bart_cfg, vocab_size=ckpt_vocab)
+        params = cruller_params_from_torch(sd, vit_cfg, load_cfg)
+        if ckpt_vocab is not None and ckpt_vocab != bart_cfg.vocab_size:
+            params["text_decoder"] = resize_token_embeddings(
+                params["text_decoder"], bart_cfg.vocab_size
+            )
+        return params
+
+
+# ==========================================================================
+# train
+# ==========================================================================
+
+class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
+    """One jitted sharded train step; subclasses define tokens + collate."""
+
+    # subclass contract ----------------------------------------------------
+    task_start_token: str = ""
+    prompt_end_token: str = ""
+    base_special_tokens: List[str] = []
+    finetune_special_tokens: Optional[List[str]] = None
+    text_anno_fn: bool = False
+    shift_in_step: bool = True  # pretrain shifts in train_step; finetunes in collate
+    log_frequency: int = 100
+
+    def __init__(self, cfg, device_env, monitor=None):
+        super().__init__(cfg, device_env, monitor)
+        self.setup_tokenizer(
+            cfg.tokenizer, self.base_special_tokens, self.finetune_special_tokens
+        )
+        self.max_position_embeddings = cfg.model.text_decoder.max_length
+        self.compute_dtype = _compute_dtype(cfg.dtype)
+        self.num_image_chs = 1 if cfg.model.image_encoder.image_fmt == "L" else 3
+
+        self.vit_cfg, self.bart_cfg, stats = resolve_cruller_cfgs(
+            cfg.model, vocab_size=self.vocab_size
+        )
+        self.img_mean, self.img_std = fold_image_stats(
+            stats["mean"], stats["std"], cfg.model.image_encoder.image_fmt
+        )
+        transforms_name = getattr(cfg, "transforms", None) or "legacy"
+        self.image_preprocess_train = create_transforms(
+            transforms_name,
+            image_size=self.vit_cfg.img_size,
+            training=True,
+            image_mean=self.img_mean,
+            image_std=self.img_std,
+        )
+        self.resume_state_dict = None
+        self._time_last = None
+        self._samples_since_log = 0
+
+    # ------------------------------------------------------------------
+    def prepare_image(self, img) -> np.ndarray:
+        """PIL/array -> normalized float32 (H, W, C) with channel coercion."""
+        from PIL import Image
+
+        if isinstance(img, Image.Image):
+            img = img.convert("L" if self.num_image_chs == 1 else "RGB")
+        return self.image_preprocess_train(img)
+
+    # ------------------------------------------------------------------
+    def train_setup(self, num_batches_per_interval: int, **kwargs):
+        cfg = self.cfg
+        accum = max(1, cfg.opt.grad_accum_steps)
+        self.num_steps_per_interval = num_batches_per_interval // accum
+
+        self.optimizer, self.scheduler = create_optimizer(
+            cfg.opt,
+            None,
+            num_intervals=cfg.num_intervals,
+            num_warmup_intervals=cfg.num_warmup_intervals,
+            updates_per_interval=max(1, self.num_steps_per_interval),
+            encoder_depth=self.vit_cfg.depth,
+            decoder_layers=self.bart_cfg.decoder_layers,
+        )
+        self.model = Cruller(
+            self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype
+        )
+        text_len = self.max_position_embeddings - 1 if self.shift_in_step else (
+            self.collate_text_length - 1
+        )
+        example = (
+            jnp.zeros(
+                (1, *self.vit_cfg.img_size, self.vit_cfg.in_chans), jnp.float32
+            ),
+            jnp.zeros((1, text_len), jnp.int32),
+        )
+        self.state, self.param_shardings = create_train_state(
+            self.model,
+            self.optimizer,
+            self.device_env.mesh,
+            example,
+            seed=kwargs.get("seed", 0),
+        )
+        if self.resume_state_dict is not None:
+            params = self.import_torch_params(
+                self.resume_state_dict, self.vit_cfg, self.bart_cfg
+            )
+            params = jax.tree_util.tree_map(
+                lambda t, p: jax.device_put(
+                    np.asarray(p, dtype=t.dtype), t.sharding
+                ),
+                self.state.params,
+                params,
+            )
+            self.state = self.state.replace(params=params)
+            self.resume_state_dict = None
+            _logger.info("imported torch checkpoint into train state")
+
+        model = self.model
+
+        def loss_fn(params, batch, rng):
+            logits = model.apply(
+                {"params": params},
+                batch["image"],
+                batch["text"],
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            loss, _ = cross_entropy_loss(logits, batch["target"])
+            return loss, {}
+
+        self.train_step_fn = make_train_step(
+            loss_fn, self.optimizer, self.device_env.mesh
+        )
+        self.step_idx = 0
+        self.interval_batch_idx = 0
+
+    # ------------------------------------------------------------------
+    def train_interval_start(self):
+        if self.monitor:
+            self.monitor.log_phase(
+                "train", interval=self.interval_idx, name_prefix="start "
+            )
+        self.interval_batch_idx = 0
+        self._time_last = time.perf_counter()
+        self._samples_since_log = 0
+
+    def train_interval_end(self):
+        if self.monitor:
+            self.monitor.log_phase("train", interval=self.interval_idx)
+        self.interval_idx += 1
+
+    # ------------------------------------------------------------------
+    def normalize_batch(self, sample) -> Dict[str, np.ndarray]:
+        """Task-specific batch dict -> {image, text, target} numpy arrays.
+        Pretrain wds batches carry unshifted sequences -> shift here (parity:
+        ``task_cruller_pretrain.py:240-242``)."""
+        if isinstance(sample, (tuple, list)):
+            image, text, target = sample[:3]
+            sample = {"image": image, "text": text, "target": target}
+        image = np.asarray(sample["image"], np.float32)
+        text = np.asarray(sample.get("text", sample.get("label")), np.int64)
+        target = np.asarray(sample.get("target", sample.get("text_target")), np.int64)
+        if text.ndim == 3:  # (B, 1, L) page dimension from ocr anno preproc
+            text = text[:, 0]
+            target = target[:, 0]
+        if self.shift_in_step:
+            text, target = text[:, :-1], target[:, 1:]
+        return {
+            "image": image,
+            "text": text.astype(np.int32),
+            "target": target.astype(np.int32),
+        }
+
+    def train_step(self, sample) -> Dict[str, Any]:
+        batch = self.normalize_batch(sample)
+        sharded = self.device_env.shard_batch(batch)
+        self.state, metrics = self.train_step_fn(self.state, sharded)
+        self.step_idx = int(self.state.step)
+        self.batch_idx += 1
+        self.interval_batch_idx += 1
+        self._samples_since_log += batch["image"].shape[0] * self.device_env.process_count
+
+        if self.monitor and self.interval_batch_idx % self.log_frequency == 0:
+            loss = float(metrics["loss"])
+            now = time.perf_counter()
+            rate = (
+                self._samples_since_log / (now - self._time_last)
+                if self._time_last
+                else None
+            )
+            self._time_last = now
+            self._samples_since_log = 0
+            self.monitor.log_step(
+                "train",
+                step_idx=self.step_idx,
+                step_end_idx=self.num_intervals * (self.num_steps_per_interval or 0),
+                interval=self.interval_idx,
+                loss=loss,
+                rate=rate,
+                lr=self.get_current_lr(),
+            )
+        return {"loss": metrics["loss"]}
+
+    # ------------------------------------------------------------------
+    def state_dict(self) -> Dict[str, Any]:
+        """Reference-layout torch state dict of the model weights
+        (``image_encoder.trunk...`` names) for ``.pt`` interop."""
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x), np.float32), self.state.params
+        )
+        return cruller_params_to_torch(params, self.vit_cfg, self.bart_cfg)
+
+
+# ==========================================================================
+# eval
+# ==========================================================================
+
+class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
+    task_start_token: str = ""
+    prompt_end_token: str = ""
+    base_special_tokens: List[str] = []
+    finetune_special_tokens: Optional[List[str]] = None
+    max_generation_length: int = 512
+
+    def __init__(self, cfg, device_env, monitor=None):
+        super().__init__(cfg, device_env, monitor)
+        self.setup_tokenizer(
+            cfg.tokenizer, self.base_special_tokens, self.finetune_special_tokens
+        )
+        self.max_position_embeddings = cfg.model.text_decoder.max_length
+        self.compute_dtype = _compute_dtype(cfg.dtype)
+        self.num_image_chs = 1 if cfg.model.image_encoder.image_fmt == "L" else 3
+        self.vit_cfg, self.bart_cfg, stats = resolve_cruller_cfgs(
+            cfg.model, vocab_size=self.vocab_size
+        )
+        self.img_mean, self.img_std = fold_image_stats(
+            stats["mean"], stats["std"], cfg.model.image_encoder.image_fmt
+        )
+        self.image_preprocess_eval = create_transforms(
+            getattr(cfg, "transforms", None) or "legacy",
+            image_size=self.vit_cfg.img_size,
+            training=False,
+            image_mean=self.img_mean,
+            image_std=self.img_std,
+        )
+        self.resume_state_dict = None
+        self.model: Optional[Cruller] = None
+        self.params = None
+
+    def prepare_image(self, img) -> np.ndarray:
+        from PIL import Image
+
+        if isinstance(img, Image.Image):
+            img = img.convert("L" if self.num_image_chs == 1 else "RGB")
+        return self.image_preprocess_eval(img)
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        """Build the model and load ``resume_state_dict`` (parity:
+        ``task_cruller_eval_ocr.py:171-179``)."""
+        self.model = Cruller(self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype)
+        if self.resume_state_dict is not None:
+            params = self.import_torch_params(
+                self.resume_state_dict, self.vit_cfg, self.bart_cfg
+            )
+            self.params = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(np.asarray(p, np.float32)), params
+            )
+            self.resume_state_dict = None
+        else:
+            variables = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, *self.vit_cfg.img_size, self.vit_cfg.in_chans)),
+                jnp.zeros((1, 4), jnp.int32),
+            )
+            import flax.linen as nn
+
+            self.params = nn.unbox(variables["params"])
+
+    # ------------------------------------------------------------------
+    def encode_images(self, images: np.ndarray) -> jax.Array:
+        return self.model.apply(
+            {"params": self.params}, jnp.asarray(images), method="encode"
+        )
+
+    def generate_ids(
+        self,
+        images: np.ndarray,
+        prompt_ids: np.ndarray,
+        max_length: Optional[int] = None,
+    ) -> np.ndarray:
+        """Batched jitted KV-cached greedy decode -> (B, max_length) ids."""
+        enc = self.encode_images(images)
+        result = generate(
+            self.model,
+            self.params,
+            enc,
+            jnp.asarray(prompt_ids, jnp.int32),
+            max_length=max_length or self.max_generation_length,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id,
+        )
+        return np.asarray(result.tokens)
+
+    def generate_text(self, images, prompt_ids, max_length=None) -> List[str]:
+        tokens = self.generate_ids(images, prompt_ids, max_length)
+        return self.tokenizer.batch_decode(tokens, skip_special_tokens=False)
+
+    def prompt_ids(self, prompt: str, batch_size: int) -> np.ndarray:
+        ids = self.tokenizer(prompt, add_special_tokens=False, return_tensors="np").input_ids
+        return np.tile(ids.astype(np.int32), (batch_size, 1))
+
+    def average_metrics(self, metrics: Dict[int, Dict[str, float]]):
+        if not metrics:
+            return {}
+        keys = list(next(iter(metrics.values())).keys())
+        return {
+            k: float(np.mean([m[k] for m in metrics.values() if k in m]))
+            for k in keys
+        }

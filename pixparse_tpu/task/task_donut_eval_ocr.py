@@ -1,0 +1,110 @@
+"""Donut baseline OCR eval task (parity: reference
+``task/task_donut_eval_ocr.py``).
+
+Runs the *published* HF Donut model (``naver-clova-ix/donut-base-finetuned-
+cord-v2``) through the same eval harness/metrics so Cruller numbers have an
+external reference point (SURVEY.md §4). This is explicitly an external-
+baseline task: it needs the ``transformers``+``torch`` inference stack and hub
+weights, so it is import-gated and raises a clear error in offline
+environments rather than being silently dropped.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from pixparse_tpu.framework.config import TaskEvalCfg
+from pixparse_tpu.framework.task import TaskEval
+from pixparse_tpu.models.config import ModelCfg
+from pixparse_tpu.tokenizers import TokenizerCfg
+from pixparse_tpu.utils.ocr_eval import ocr_metrics_from_text
+
+_logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TaskDonutEvalOCRCfg(TaskEvalCfg):
+    model_name: str = "naver-clova-ix/donut-base-finetuned-cord-v2"
+    model: ModelCfg = field(default_factory=ModelCfg)
+    tokenizer: TokenizerCfg = field(default_factory=TokenizerCfg)
+
+    def __post_init__(self):
+        pass  # external HF model; no local registry resolution
+
+
+class TaskDonutEvalOCR(TaskEval):
+    """External-baseline eval: HF Donut greedy generation + CER/WER
+    (reference ``:44-47,105-178``)."""
+
+    def __init__(self, cfg: TaskDonutEvalOCRCfg, device_env, monitor=None):
+        super().__init__(cfg, device_env, monitor)
+        try:
+            from transformers import DonutProcessor, VisionEncoderDecoderModel
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "donut_eval_ocr needs the transformers inference stack"
+            ) from e
+        self.processor = DonutProcessor.from_pretrained(cfg.model_name)
+        self.model = VisionEncoderDecoderModel.from_pretrained(cfg.model_name)
+        self.model.eval()
+        self.task_prompt = "<s_cord-v2>"
+        self.anno_preprocess_eval = None
+        self.image_preprocess_eval = lambda img: img  # processor handles it
+
+    def collate_fn(self, batch):
+        return batch
+
+    def setup(self):
+        pass
+
+    def prepare_for_evaluation(self, loaders) -> Dict[str, Any]:
+        return {name: loader for name, loader in loaders.items() if "eval" in name}
+
+    def step(self, sample) -> Dict[str, Any]:
+        import re
+
+        import torch
+
+        if isinstance(sample, (tuple, list)):
+            images, texts = sample[0], sample[1]
+        else:
+            images, texts = sample["image"], sample["text"]
+        predictions, references = [], []
+        for img, ref in zip(images, texts):
+            pixel_values = self.processor(img, return_tensors="pt").pixel_values
+            decoder_input_ids = self.processor.tokenizer(
+                self.task_prompt, add_special_tokens=False, return_tensors="pt"
+            ).input_ids
+            with torch.inference_mode():
+                outputs = self.model.generate(
+                    pixel_values,
+                    decoder_input_ids=decoder_input_ids,
+                    max_length=self.model.decoder.config.max_position_embeddings,
+                    pad_token_id=self.processor.tokenizer.pad_token_id,
+                    eos_token_id=self.processor.tokenizer.eos_token_id,
+                    use_cache=True,
+                    bad_words_ids=[[self.processor.tokenizer.unk_token_id]],
+                )
+            seq = self.processor.batch_decode(outputs)[0]
+            seq = seq.replace(self.processor.tokenizer.eos_token, "").replace(
+                self.processor.tokenizer.pad_token, ""
+            )
+            seq = re.sub(r"<.*?>", "", seq, count=1).strip()
+            predictions.append(seq)
+            references.append(ref if isinstance(ref, str) else str(ref))
+        metrics, _ = ocr_metrics_from_text(predictions, references)
+        return metrics or {}
+
+    def average_metrics(self, metrics: Dict[int, Dict[str, float]]):
+        wer = [m["wer"] for m in metrics.values() if "wer" in m]
+        cer = [m["cer"] for m in metrics.values() if "cer" in m]
+        if not wer:
+            return {}
+        return {"wer": float(np.mean(wer)), "cer": float(np.mean(cer))}
+
+    def end(self):
+        pass

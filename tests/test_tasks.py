@@ -1,0 +1,228 @@
+"""Task-suite tests: factory, collates, vocab protocol, end-to-end train
+steps, eval steps with the jitted decode — all on the 8-device CPU mesh with
+the offline byte-level tokenizer and the cruller_test model config."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixparse_tpu.framework.config import OptimizationCfg
+from pixparse_tpu.parallel.mesh import MeshEnv, create_mesh
+from pixparse_tpu.task import TASK_CLASS_REGISTRY, TaskFactory
+from pixparse_tpu.tokenizers import TokenizerCfg
+
+LOCAL_TOK = TokenizerCfg(name="pixparse_bytelevel")
+
+
+def _env():
+    return MeshEnv.initialize()
+
+
+def _task_cfg(cfg_cls, **kwargs):
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cfg_cls)}
+    if "opt" in names:
+        kwargs.setdefault("opt", OptimizationCfg(learning_rate=1e-3))
+    return cfg_cls(model_name="cruller_test", tokenizer=LOCAL_TOK, **kwargs)
+
+
+def _pil_image(h=80, w=60, seed=0):
+    rng = np.random.RandomState(seed)
+    return Image.fromarray(rng.randint(0, 255, (h, w), np.uint8), mode="L")
+
+
+# ------------------------------------------------------------------ factory
+
+def test_factory_names_match_reference():
+    assert sorted(TASK_CLASS_REGISTRY) == sorted([
+        "cruller_eval_ocr", "cruller_eval_rvlcdip", "cruller_eval_cord",
+        "cruller_eval_docvqa", "donut_eval_ocr", "cruller_pretrain",
+        "cruller_finetune_rvlcdip", "cruller_finetune_cord",
+        "cruller_finetune_docvqa", "cruller_finetune_xent",
+    ])
+
+
+def test_factory_creates_tasks():
+    env = _env()
+    for name in ("cruller_pretrain", "cruller_finetune_cord", "cruller_eval_rvlcdip"):
+        _, cfg_cls = TASK_CLASS_REGISTRY[name]
+        task, cfg = TaskFactory.create_task(
+            name, _task_cfg(cfg_cls), device_env=env, monitor=None
+        )
+        assert task.cfg is cfg
+
+
+def test_factory_unknown_task():
+    with pytest.raises(ValueError):
+        TaskFactory.create_task("nope", {}, device_env=None)
+
+
+# ------------------------------------------------------------------ collates
+
+def test_cord_collate_masking_and_shift():
+    from pixparse_tpu.task import TaskCrullerFinetuneCORD, TaskCrullerFinetuneCORDCfg
+
+    env = _env()
+    task = TaskCrullerFinetuneCORD(
+        _task_cfg(TaskCrullerFinetuneCORDCfg), env, None
+    )
+    item = {
+        "image": _pil_image(),
+        "ground_truth": str({"gt_parse": {"menu": {"nm": "latte", "price": "5.00"}}}),
+    }
+    batch = task.collate_fn([item, item])
+    assert batch["image"].shape == (2, 64, 48, 1)
+    assert batch["label"].shape == (2, 511)
+    assert batch["text_target"].shape == (2, 511)
+    # prompt token (<s_cord>) is never a target; -100 until after prompt end
+    assert batch["text_target"][0, 0] != task.tokenizer.convert_tokens_to_ids("<s_cord>")
+    # shift: label[i+1] token is predicted at target position i (non-masked head)
+    tgt = batch["text_target"][0]
+    lbl = batch["label"][0]
+    valid = tgt != -100
+    idx = np.nonzero(valid)[0]
+    np.testing.assert_array_equal(tgt[idx[:-1]], lbl[idx[:-1] + 1])
+
+
+def test_rvlcdip_collate():
+    from pixparse_tpu.task import TaskCrullerFinetuneRVLCDIP, TaskCrullerFinetuneRVLCDIPCfg
+
+    env = _env()
+    task = TaskCrullerFinetuneRVLCDIP(
+        _task_cfg(TaskCrullerFinetuneRVLCDIPCfg), env, None
+    )
+    batch = task.collate_fn(
+        [{"image": _pil_image(), "label": 3}, {"image": _pil_image(), "label": 15}]
+    )
+    assert batch["label"].shape == (2, 4)  # max_length 5, shifted
+    # class token present in the input sequence
+    tok = task.tokenizer.convert_tokens_to_ids("<handwritten/>")
+    assert tok in batch["label"][0]
+
+
+def test_docvqa_collate_answer_only_loss():
+    from pixparse_tpu.task import TaskCrullerFinetuneDOCVQA, TaskCrullerFinetuneDOCVQACfg
+
+    env = _env()
+    task = TaskCrullerFinetuneDOCVQA(
+        _task_cfg(TaskCrullerFinetuneDOCVQACfg), env, None
+    )
+    qa = "<s_question>what?</s_question><s_answer>42</s_answer>"
+    batch = task.collate_fn([{"image": _pil_image(), "labels": [qa]}])
+    tgt = batch["text_target"][0]
+    lbl = batch["label"][0]
+    # everything through <s_answer> masked; answer span supervised
+    ans_id = task.tokenizer.convert_tokens_to_ids("<s_answer>")
+    ans_pos = int(np.nonzero(lbl == ans_id)[0][0])
+    assert (tgt[:ans_pos] == -100).all()
+    assert (tgt != -100).sum() > 0
+
+
+# ------------------------------------------------------------------ training
+
+def test_pretrain_task_end_to_end():
+    from pixparse_tpu.task import TaskCrullerPretrain, TaskCrullerPretrainCfg
+
+    env = _env()
+    task = TaskCrullerPretrain(_task_cfg(TaskCrullerPretrainCfg), env, None)
+    task.train_setup(num_batches_per_interval=4)
+    rng = np.random.RandomState(0)
+    L = task.max_position_embeddings
+    batch = {
+        "image": rng.rand(8, 64, 48, 1).astype(np.float32),
+        "text": rng.randint(4, 200, (8, L)).astype(np.int64),
+        "target": rng.randint(4, 200, (8, L)).astype(np.int64),
+    }
+    losses = [float(task.train_step(batch)["loss"]) for _ in range(3)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert task.step_idx == 3
+
+    sd = task.state_dict()
+    assert "image_encoder.trunk.patch_embed.proj.weight" in sd
+    assert "text_decoder.trunk.model.decoder.embed_tokens.weight" in sd
+    assert sd["text_decoder.trunk.model.decoder.embed_tokens.weight"].shape[0] == task.vocab_size
+
+
+def test_vocab_replay_pretrain_to_finetune():
+    """Pretrain checkpoint -> CORD finetune import with vocab growth."""
+    from pixparse_tpu.task import (
+        TaskCrullerFinetuneCORD,
+        TaskCrullerFinetuneCORDCfg,
+        TaskCrullerPretrain,
+        TaskCrullerPretrainCfg,
+    )
+
+    env = _env()
+    pre = TaskCrullerPretrain(_task_cfg(TaskCrullerPretrainCfg), env, None)
+    pre.train_setup(num_batches_per_interval=2)
+    sd = pre.state_dict()
+
+    fin = TaskCrullerFinetuneCORD(_task_cfg(TaskCrullerFinetuneCORDCfg), env, None)
+    assert fin.vocab_size > pre.vocab_size  # CORD tokens appended after
+    assert fin.vocab_size_base == pre.vocab_size  # replay point matches
+    fin.resume_state_dict = sd
+    fin.train_setup(num_batches_per_interval=2)
+    emb = np.asarray(
+        __import__("jax").device_get(
+            fin.state.params["text_decoder"]["embed_tokens"]["embedding"]
+        )
+    )
+    assert emb.shape[0] == fin.vocab_size
+    # pretrain rows carried over exactly
+    np.testing.assert_allclose(
+        emb[: pre.vocab_size],
+        sd["text_decoder.trunk.model.decoder.embed_tokens.weight"],
+        atol=1e-6,
+    )
+
+
+def test_xent_task_train_step():
+    from pixparse_tpu.task import TaskCrullerFinetuneXent, TaskCrullerFinetuneXentCfg
+
+    env = _env()
+    task = TaskCrullerFinetuneXent(_task_cfg(TaskCrullerFinetuneXentCfg), env, None)
+    task.train_setup(num_batches_per_interval=2)
+    batch = task.collate_fn(
+        [{"image": _pil_image(seed=i), "label": i % 16} for i in range(8)]
+    )
+    out = task.train_step(batch)
+    assert np.isfinite(float(out["loss"]))
+
+
+# ------------------------------------------------------------------ eval
+
+def test_eval_rvlcdip_step():
+    from pixparse_tpu.task import TaskCrullerEvalRVLCDIP, TaskCrullerEvalRVLCDIPCfg
+
+    env = _env()
+    task = TaskCrullerEvalRVLCDIP(_task_cfg(TaskCrullerEvalRVLCDIPCfg), env, None)
+    task.setup()  # random params, no checkpoint
+    batch = task.collate_fn(
+        [{"image": _pil_image(seed=i), "label": i % 16} for i in range(2)]
+    )
+    metrics = task.step(batch)
+    c = metrics["classification"]
+    assert c["n_valid_samples"] == 2
+    assert 0 <= c["correct_samples"] <= 2
+    avg = task.average_metrics({0: metrics})
+    assert "accuracy" in avg["classification"]
+
+
+def test_eval_ocr_step_with_generation():
+    from pixparse_tpu.task import TaskCrullerEvalOCR, TaskCrullerEvalOCRCfg
+
+    env = _env()
+    task = TaskCrullerEvalOCR(_task_cfg(TaskCrullerEvalOCRCfg), env, None)
+    task.max_generation_length = 12
+    task.setup()
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 64, 48, 1).astype(np.float32)
+    # reference text: real tokens then pad
+    text = np.full((2, 16), task.tokenizer.pad_token_id, np.int64)
+    ids = task.tokenizer("hello world", add_special_tokens=False).input_ids
+    text[:, : len(ids)] = ids
+    metrics = task.step({"image": images, "text": text})
+    # random model may emit empty text -> metrics may be empty; both are dicts
+    assert isinstance(metrics, dict)
