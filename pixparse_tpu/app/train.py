@@ -1,0 +1,248 @@
+"""Train CLI: ``python -m pixparse_tpu.app.train`` (parity: reference
+``app/train.py``).
+
+Same three-scope flag surface (``--train.* --task.* --data.*`` with dash
+variants and ``--config_path``), same flow: MeshEnv -> TaskFactory -> seeded
+RNG -> auto-named experiment (broadcast to all hosts) -> refuse to clobber an
+existing experiment log -> Monitor on primary -> optional ``.pt``/S3 resume ->
+loader with the task's collate/preproc -> ``train_setup`` -> interval loop.
+
+Checkpointing improves on the reference (SURVEY.md §5.3/§5.4): per interval
+the primary writes BOTH the reference-compatible model-only
+``checkpoint-{i}.pt`` AND a full orbax train state (params + optimizer +
+counters), and ``--train.resume`` with a ``checkpoint-{i}`` orbax dir restores
+optimizer/interval state too (the reference silently drops it).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, replace
+from datetime import datetime
+from typing import Dict, Optional
+
+from pixparse_tpu.data import DataCfg, create_loader
+from pixparse_tpu.framework import (
+    Monitor,
+    TaskTrainCfg,
+    random_seed,
+    setup_logging,
+    train_one_interval,
+)
+from pixparse_tpu.framework.checkpoint import (
+    checkpoint_path as native_checkpoint_path,
+    restore_train_state,
+    save_checkpoint,
+)
+from pixparse_tpu.framework.cli import ConfigArgumentParser
+from pixparse_tpu.parallel.mesh import MeshEnv
+from pixparse_tpu.task import TaskFactory
+from pixparse_tpu.utils.name_utils import clean_name
+
+_logger = logging.getLogger("train")
+
+
+@dataclass
+class TrainCfg:
+    experiment: Optional[str] = None
+    output_dir: str = "./output"
+    log_filename: str = "out.log"
+    s3_bucket: str = ""
+    resume: bool = False
+    checkpoint_path: str = ""
+    output_checkpoint_dir: Optional[str] = None  # default output_dir/checkpoints
+    seed: int = 42
+    task_name: str = "cruller_pretrain"
+    wandb: bool = False
+    wandb_project: str = "unknown"
+    tensorboard: bool = False
+    log_eval_data: bool = False
+
+
+def train(cfg: TrainCfg, task, loaders: Dict[str, object]):
+    device_env = task.device_env
+    train_loader = loaders["train"]
+    for i in range(task.start_interval, task.num_intervals):
+        train_loader.set_interval(i)
+        task.interval_idx = i
+        train_one_interval(task, train_loader)
+
+        if device_env.is_primary():
+            checkpoint_dir = os.path.join(cfg.output_checkpoint_dir, cfg.experiment)
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            # reference-compatible model-only .pt
+            from pixparse_tpu.models.torch_interop import save_torch_checkpoint
+
+            save_torch_checkpoint(
+                os.path.join(checkpoint_dir, f"checkpoint-{i}.pt"),
+                task.state_dict(),
+            )
+        # full train state (all hosts participate in a sharded save)
+        checkpoint_dir = os.path.join(cfg.output_checkpoint_dir, cfg.experiment)
+        save_checkpoint(
+            native_checkpoint_path(checkpoint_dir, i),
+            task.state,
+            metadata={"interval": i, "step": int(task.state.step)},
+        )
+
+
+def build_parser() -> ConfigArgumentParser:
+    parser = ConfigArgumentParser(description="pixparse_tpu train")
+    parser.add_arguments(TrainCfg, dest="train")
+    parser.add_arguments(TaskTrainCfg, dest="task")
+    parser.add_arguments(DataCfg, dest="data")
+    return parser
+
+
+def main(argv=None):
+    # the task cfg scope is parsed generically then re-scoped by the factory
+    # into the task-specific cfg class (model_name/tokenizer resolution)
+    import dataclasses as _dc
+
+    from pixparse_tpu.task.task_factory import TASK_CLASS_REGISTRY
+
+    pre = ConfigArgumentParser(description="pixparse_tpu train")
+    pre.add_arguments(TrainCfg, dest="train")
+    pre_args, task_name = None, None
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # peek at task_name to build the right --task.* flag set
+    for i, a in enumerate(argv):
+        if a in ("--train.task_name", "--train.task-name") and i + 1 < len(argv):
+            task_name = argv[i + 1]
+        elif a.startswith("--train.task_name=") or a.startswith("--train.task-name="):
+            task_name = a.split("=", 1)[1]
+    task_name = task_name or TrainCfg.task_name
+    if task_name not in TASK_CLASS_REGISTRY:
+        raise SystemExit(f"unknown task {task_name!r}")
+    _, task_cfg_cls = TASK_CLASS_REGISTRY[task_name]
+
+    parser = ConfigArgumentParser(description="pixparse_tpu train")
+    parser.add_arguments(TrainCfg, dest="train")
+    parser.add_arguments(task_cfg_cls, dest="task")
+    parser.add_arguments(DataCfg, dest="data")
+    args = parser.parse_args(argv)
+    train_cfg: TrainCfg = args.train
+    data_cfg: DataCfg = args.data
+
+    device_env = MeshEnv.initialize(
+        data=args.task.mesh.data, fsdp=args.task.mesh.fsdp, model=args.task.mesh.model
+    )
+    task, task_cfg = TaskFactory.create_task(
+        task_name=train_cfg.task_name,
+        task_args=args.task,
+        device_env=device_env,
+        monitor=None,
+    )
+    random_seed(train_cfg.seed, rank=device_env.global_rank)
+    _logger.info(f"Device env is {device_env}")
+
+    if train_cfg.experiment is None:
+        model_name_safe = clean_name(task_cfg.model_name)
+        date_str = datetime.now().strftime("%Y%m%d-%H%M%S")
+        if device_env.world_size > 1:
+            date_str = device_env.broadcast_object(date_str)
+        experiment = "-".join(
+            [
+                date_str,
+                f"task_{train_cfg.task_name}",
+                f"model_{model_name_safe}",
+                f"lr_{'{:.1e}'.format(task_cfg.opt.learning_rate)}",
+                f"b_{data_cfg.train.batch_size}",
+            ]
+        )
+        train_cfg = replace(train_cfg, experiment=experiment)
+
+    experiment_path = os.path.join(train_cfg.output_dir, train_cfg.experiment)
+    log_path = None
+    if device_env.is_primary():
+        os.makedirs(experiment_path, exist_ok=True)
+        log_path = os.path.join(experiment_path, train_cfg.log_filename)
+        if os.path.exists(log_path) and not train_cfg.resume:
+            _logger.error(
+                "Error. Experiment already exists. Use --train.experiment to "
+                "specify a new experiment."
+            )
+            return -1
+
+    setup_logging(log_path)
+    task.monitor = Monitor(
+        train_cfg.experiment,
+        output_dir=experiment_path,
+        wandb=train_cfg.wandb,
+        wandb_project=train_cfg.wandb_project,
+        tensorboard=train_cfg.tensorboard,
+        output_enabled=device_env.is_primary(),
+        log_eval_data=train_cfg.log_eval_data,
+    )
+
+    native_resume_dir = None
+    if train_cfg.resume:
+        checkpoint_path = train_cfg.checkpoint_path
+        if train_cfg.s3_bucket != "":
+            from pixparse_tpu.utils.s3_utils import load_checkpoint_from_s3
+
+            _logger.info("s3 bucket specified. Loading checkpoint from s3.")
+            checkpoint = load_checkpoint_from_s3(
+                train_cfg.s3_bucket, checkpoint_path
+            )
+            task.resume_state_dict = checkpoint
+        elif os.path.isdir(checkpoint_path):
+            # native orbax train-state dir: restored after train_setup
+            native_resume_dir = checkpoint_path
+        else:
+            assert os.path.isfile(
+                checkpoint_path
+            ), f"Cannot find checkpoint {checkpoint_path}: File not found"
+            from pixparse_tpu.models.torch_interop import load_torch_checkpoint
+
+            task.resume_state_dict = load_torch_checkpoint(checkpoint_path)
+
+    output_checkpoint_dir = train_cfg.output_checkpoint_dir or os.path.join(
+        experiment_path, "checkpoints"
+    )
+    os.makedirs(output_checkpoint_dir, exist_ok=True)
+    train_cfg = replace(train_cfg, output_checkpoint_dir=output_checkpoint_dir)
+    if device_env.is_primary():
+        _logger.info(task_cfg)
+        _logger.info(train_cfg)
+
+    loaders = {}
+    assert (
+        data_cfg.train is not None or data_cfg.eval is not None
+    ), "Neither data_cfg.train nor data_cfg.eval are set."
+    if data_cfg.train is not None:
+        loaders["train"] = create_loader(
+            data_cfg.train,
+            is_train=True,
+            collate_fn=task.collate_fn,
+            image_preprocess=getattr(task, "image_preprocess_train", None),
+            anno_preprocess=getattr(task, "anno_preprocess_train", None),
+            image_fmt=task_cfg.model.image_encoder.image_fmt,
+            seed=train_cfg.seed,
+            world_size=device_env.world_size,
+            global_rank=device_env.global_rank,
+        )
+    task.train_setup(num_batches_per_interval=loaders["train"].num_batches)
+
+    if native_resume_dir is not None:
+        task.state, meta = restore_train_state(native_resume_dir, task.state)
+        task.start_interval = int(meta.get("interval", -1)) + 1
+        task.step_idx = int(task.state.step)
+        _logger.info(
+            "restored full train state from %s (interval %s, step %s)",
+            native_resume_dir, task.start_interval - 1, task.step_idx,
+        )
+
+    if device_env.is_primary():
+        _logger.info(task)
+
+    train(train_cfg, task, loaders)
+    task.monitor.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -69,6 +69,7 @@ class TaskTrain(Task):
         self.batch_idx = 0  # global batches seen
         self.interval_idx = 0
         self.interval_batch_idx = 0
+        self.start_interval = 0  # set by resume (app layer)
 
         # optimization slots, filled by train_setup
         self.optimizer = None  # optax.GradientTransformation

@@ -87,16 +87,21 @@ class CrullerVocabMixin:
         tokens first, then optional finetune tokens — so token ids and
         embedding shapes match reference checkpoints at both stages
         (``task_cruller_finetune_CORD.py:209-223,303-328``)."""
-        self.tokenizer = TokenizerHF(tokenizer_cfg).trunk
-        add_special_tokens(self.tokenizer, base_special_tokens)
-        self.vocab_size_base = len(self.tokenizer)
+        from pixparse_tpu.tokenizers.thread_safe import ThreadLocalTokenizer
+
+        tokenizer = TokenizerHF(tokenizer_cfg).trunk
+        add_special_tokens(tokenizer, base_special_tokens)
+        self.vocab_size_base = len(tokenizer)
         if finetune_special_tokens:
             self.newly_added_num = add_special_tokens(
-                self.tokenizer, finetune_special_tokens
+                tokenizer, finetune_special_tokens
             )
         else:
             self.newly_added_num = 0
-        self.vocab_size = len(self.tokenizer)
+        self.vocab_size = len(tokenizer)
+        # loader worker threads each get their own copy (HF fast tokenizers
+        # are not thread-safe)
+        self.tokenizer = ThreadLocalTokenizer(tokenizer)
 
     def import_torch_params(self, state_dict, vit_cfg, bart_cfg) -> Dict[str, Any]:
         """Reference ``.pt`` state dict -> flax params at the *current* vocab,

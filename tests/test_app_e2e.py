@@ -1,0 +1,123 @@
+"""End-to-end CLI tests (SURVEY.md §4 "Integration"): synthetic webdataset
+shard -> ``pixparse_tpu.app.train`` runs intervals on the 8-device CPU mesh,
+writes ``.pt`` + orbax checkpoints -> ``pixparse_tpu.app.eval`` produces a
+CER/WER metrics JSON from the ``.pt`` -> resume from the orbax dir restores
+optimizer state and interval counters.
+"""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixparse_tpu.app.eval import main as eval_main
+from pixparse_tpu.app.train import main as train_main
+
+
+def _make_shard(path: str, n: int, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            img = Image.fromarray(rng.randint(0, 255, (80, 60), np.uint8), "L")
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{i:05d}.png")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+            anno = json.dumps(
+                {"pages": [{"text": [f"hello world {i}", "the quick brown fox"]}]}
+            ).encode()
+            info = tarfile.TarInfo(f"{i:05d}.json")
+            info.size = len(anno)
+            tf.addfile(info, io.BytesIO(anno))
+
+
+@pytest.fixture(scope="module")
+def shard(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wds")
+    path = str(d / "shard-00000.tar")
+    _make_shard(path, 32)
+    return path
+
+
+def _train_args(shard, out_dir, experiment="e2e", extra=()):
+    return [
+        "--train.task_name", "cruller_pretrain",
+        "--train.experiment", experiment,
+        "--train.output_dir", out_dir,
+        "--train.seed", "42",
+        "--task.model_name", "cruller_test",
+        "--task.tokenizer.name", "pixparse_bytelevel",
+        "--task.num_intervals", "2",
+        "--task.num_warmup_intervals", "1",
+        "--task.opt.learning_rate", "1e-4",
+        "--task.dtype", "float32",
+        "--data.train.source", shard,
+        "--data.train.num_samples", "16",
+        "--data.train.batch_size", "8",
+        "--data.train.split", "train",
+        "--data.train.num_workers", "2",
+        *extra,
+    ]
+
+
+def test_train_cli_end_to_end(shard, tmp_path):
+    out_dir = str(tmp_path / "output")
+    rc = train_main(_train_args(shard, out_dir))
+    assert rc == 0
+    exp = os.path.join(out_dir, "e2e")
+    ckpt_dir = os.path.join(exp, "checkpoints", "e2e")
+    assert os.path.isfile(os.path.join(ckpt_dir, "checkpoint-0.pt"))
+    assert os.path.isfile(os.path.join(ckpt_dir, "checkpoint-1.pt"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "checkpoint-1"))
+    assert os.path.isfile(os.path.join(exp, "out.log"))
+
+    # refuses to clobber an existing experiment (parity: app/train.py:111-118)
+    rc2 = train_main(_train_args(shard, out_dir))
+    assert rc2 == -1
+
+    # eval the .pt through the eval CLI
+    eval_out = str(tmp_path / "eval_out")
+    rc3 = eval_main([
+        "--eval.task_name", "cruller_eval_ocr",
+        "--eval.output_dir", eval_out,
+        "--eval.checkpoint_path", os.path.join(ckpt_dir, "checkpoint-1.pt"),
+        "--eval.dataset_name", "FUNSD",
+        "--task.model_name", "cruller_test",
+        "--task.tokenizer.name", "pixparse_bytelevel",
+        "--task.dtype", "float32",
+        "--data.eval.source", shard,
+        "--data.eval.num_samples", "16",
+        "--data.eval.batch_size", "8",
+        "--data.eval.split", "eval",
+    ])
+    assert rc3 == 0
+    metrics_files = [f for f in os.listdir(eval_out) if f.endswith("-metrics.json")]
+    assert len(metrics_files) == 1
+    with open(os.path.join(eval_out, metrics_files[0])) as fh:
+        metrics = json.load(fh)
+    assert "eval" in metrics
+
+    # resume from the orbax dir: restores interval counter + optimizer state
+    resume_out = str(tmp_path / "resume_out")
+    rc4 = train_main(_train_args(
+        shard, resume_out, experiment="e2e_resume",
+        extra=[
+            "--train.resume", "true",
+            "--train.checkpoint_path", os.path.join(ckpt_dir, "checkpoint-0"),
+            "--task.num_intervals", "2",
+        ],
+    ))
+    assert rc4 == 0
+    resumed_ckpts = os.listdir(
+        os.path.join(resume_out, "e2e_resume", "checkpoints", "e2e_resume")
+    )
+    # started from interval 1 -> only checkpoint-1 written
+    assert "checkpoint-1.pt" in resumed_ckpts
+    assert "checkpoint-0.pt" not in resumed_ckpts
