@@ -50,7 +50,9 @@ def main():
 
     on_accelerator = jax.devices()[0].platform != "cpu"
     if on_accelerator:
-        batch_size, text_len, steps, warmup = 8, 512, 10, 3
+        # reference pretrain semantics: tokenize pads to max_length=1024,
+        # train step shifts -> 1023 decoder positions every step
+        batch_size, text_len, steps, warmup = 8, 1023, 10, 3
         model_name = "cruller_base"
     else:  # CPU smoke mode: tiny model so the script stays runnable anywhere
         batch_size, text_len, steps, warmup = 8, 64, 3, 1

@@ -1,0 +1,48 @@
+"""Flash attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pixparse_tpu.ops.attention import dot_product_attention
+from pixparse_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(B, Lq, Lk, H, D, seed=0):
+    rng = np.random.RandomState(seed)
+    q = rng.randn(B, Lq, H, D).astype(np.float32)
+    k = rng.randn(B, Lk, H, D).astype(np.float32)
+    v = rng.randn(B, Lk, H, D).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_xla(causal):
+    q, k, v = _rand_qkv(2, 160, 160, 2, 64)
+    ref = dot_product_attention(q, k, v, causal=causal, impl="xla")
+    out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_unpadded_unaligned_lengths():
+    # Lq=100, Lk=75: exercises both query and key padding paths
+    q, k, v = _rand_qkv(1, 100, 75, 3, 32, seed=1)
+    ref = dot_product_attention(q, k, v, impl="xla")
+    out = flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_cross_attention_shape():
+    # decoder->encoder cross shape (Lq != Lk)
+    q, k, v = _rand_qkv(2, 64, 256, 2, 64, seed=2)
+    ref = dot_product_attention(q, k, v, impl="xla")
+    out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_attention_entry_point_flash_impl():
+    q, k, v = _rand_qkv(1, 128, 128, 2, 64, seed=3)
+    out = dot_product_attention(q, k, v, impl="flash")
+    ref = dot_product_attention(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
