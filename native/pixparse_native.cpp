@@ -1,0 +1,335 @@
+// pixparse_tpu native data-plane kernels.
+//
+// The reference delegates its input-pipeline hot path to native code it does
+// not own: torch DataLoader worker processes + PIL/cv2 C decode/resize
+// (SURVEY.md §2b, rows "PyTorch ATen", "PIL / OpenCV"). This library is the
+// first-party equivalent for the TPU stack's per-host loader:
+//
+//  - JPEG decode via libjpeg with DCT-domain scaling (decode_jpeg):
+//    document scans are typically 1700-3400 px tall while model input is
+//    576-798 px, so decoding directly at 1/2..1/8 scale skips most of the
+//    IDCT + color work — the single biggest host-CPU win available.
+//  - PNG decode via libpng (decode_png), grayscale/RGB output.
+//  - Bilinear resize on uint8 (resize_bilinear_u8), separable weights,
+//    single pass, no Python-object overhead.
+//  - Fused resize+pad+normalize to float32 (resize_pad_normalize_f32):
+//    writes the network-ready (H, W, C) float tensor in one pass.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
+// All functions return 0 on success, negative on failure.
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// JPEG
+// ---------------------------------------------------------------------------
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+static void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Probe the decoded size for (buf, scale_denom, want_gray).
+// Returns 0 and fills out_h/out_w/out_c, or <0 on error.
+int jpeg_probe(const uint8_t* buf, int64_t len, int scale_denom, int want_gray,
+               int* out_h, int* out_w, int* out_c) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom > 0 ? scale_denom : 1;
+  if (want_gray) cinfo.out_color_space = JCS_GRAYSCALE;
+  jpeg_calc_output_dimensions(&cinfo);
+  *out_h = static_cast<int>(cinfo.output_height);
+  *out_w = static_cast<int>(cinfo.output_width);
+  *out_c = cinfo.out_color_components;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode into caller-allocated out (h*w*c from jpeg_probe with same args).
+int jpeg_decode(const uint8_t* buf, int64_t len, int scale_denom, int want_gray,
+                uint8_t* out, int out_h, int out_w, int out_c) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom > 0 ? scale_denom : 1;
+  if (want_gray) cinfo.out_color_space = JCS_GRAYSCALE;
+  cinfo.dct_method = JDCT_ISLOW;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_height) != out_h ||
+      static_cast<int>(cinfo.output_width) != out_w ||
+      cinfo.out_color_components != out_c) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  const int stride = out_w * out_c;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// PNG
+// ---------------------------------------------------------------------------
+
+struct PngReadState {
+  const uint8_t* data;
+  size_t len;
+  size_t pos;
+};
+
+static void png_read_fn(png_structp png, png_bytep out, png_size_t count) {
+  PngReadState* s = static_cast<PngReadState*>(png_get_io_ptr(png));
+  if (s->pos + count > s->len) {
+    png_error(png, "read past end");
+    return;
+  }
+  memcpy(out, s->data + s->pos, count);
+  s->pos += count;
+}
+
+int png_probe(const uint8_t* buf, int64_t len, int want_gray,
+              int* out_h, int* out_w, int* out_c) {
+  if (len < 8 || png_sig_cmp(buf, 0, 8)) return -1;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); return -2; }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -3;
+  }
+  PngReadState state{buf, static_cast<size_t>(len), 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+  *out_h = static_cast<int>(png_get_image_height(png, info));
+  *out_w = static_cast<int>(png_get_image_width(png, info));
+  *out_c = want_gray ? 1 : 3;
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+int png_decode(const uint8_t* buf, int64_t len, int want_gray,
+               uint8_t* out, int out_h, int out_w, int out_c) {
+  if (len < 8 || png_sig_cmp(buf, 0, 8)) return -1;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); return -2; }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -3;
+  }
+  PngReadState state{buf, static_cast<size_t>(len), 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+
+  const int bit_depth = png_get_bit_depth(png, info);
+  const int color_type = png_get_color_type(png, info);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_set_strip_alpha(png);
+  if (want_gray) {
+    if (color_type & PNG_COLOR_MASK_COLOR) png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+  } else {
+    if (!(color_type & PNG_COLOR_MASK_COLOR)) png_set_gray_to_rgb(png);
+  }
+  png_read_update_info(png, info);
+
+  const int h = static_cast<int>(png_get_image_height(png, info));
+  const int w = static_cast<int>(png_get_image_width(png, info));
+  const int c = static_cast<int>(png_get_channels(png, info));
+  if (h != out_h || w != out_w || c != out_c) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -4;
+  }
+  std::vector<png_bytep> rows(h);
+  const size_t stride = static_cast<size_t>(w) * c;
+  for (int y = 0; y < h; ++y) rows[y] = out + y * stride;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// resize / normalize
+// ---------------------------------------------------------------------------
+
+// Separable antialiased triangle-filter resize (PIL BILINEAR semantics:
+// filter support scales with the downscale factor, half-pixel centers).
+// Two passes: horizontal into a float buffer, then vertical.
+
+struct FilterTaps {
+  std::vector<int> start;       // first source index per output pixel
+  std::vector<int> count;       // taps per output pixel
+  std::vector<float> weights;   // concatenated, normalized
+  int max_taps = 0;
+};
+
+static FilterTaps build_taps(int src_size, int dst_size) {
+  FilterTaps t;
+  const double scale = static_cast<double>(src_size) / dst_size;
+  const double support = scale < 1.0 ? 1.0 : scale;  // triangle radius
+  t.start.resize(dst_size);
+  t.count.resize(dst_size);
+  std::vector<float> w;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  for (int i = 0; i < dst_size; ++i) {
+    // PIL ImagingResample window math (half-open, +0.5-shifted bounds)
+    const double center = (i + 0.5) * scale;
+    int lo = static_cast<int>(std::floor(center - support + 0.5));
+    int hi = static_cast<int>(std::floor(center + support + 0.5));
+    lo = std::max(lo, 0);
+    hi = std::min(hi, src_size);
+    if (hi <= lo) { lo = std::min(std::max(0, lo), src_size - 1); hi = lo + 1; }
+    t.start[i] = lo;
+    t.count[i] = hi - lo;
+    t.max_taps = std::max(t.max_taps, hi - lo);
+    double total = 0.0;
+    size_t base = w.size();
+    for (int j = lo; j < hi; ++j) {
+      const double d = (j - center + 0.5) / filterscale;
+      const double ad = d < 0 ? -d : d;
+      const double cw = ad < 1.0 ? 1.0 - ad : 0.0;  // triangle
+      w.push_back(static_cast<float>(cw));
+      total += cw;
+    }
+    if (total > 0) {
+      for (int j = 0; j < hi - lo; ++j) w[base + j] /= static_cast<float>(total);
+    } else {
+      for (int j = 0; j < hi - lo; ++j) w[base + j] = 1.0f / (hi - lo);
+    }
+  }
+  t.weights = std::move(w);
+  return t;
+}
+
+int resize_bilinear_u8(const uint8_t* src, int sh, int sw, int c,
+                       uint8_t* dst, int dh, int dw) {
+  if (sh <= 0 || sw <= 0 || dh <= 0 || dw <= 0 || c <= 0) return -1;
+  FilterTaps tx = build_taps(sw, dw);
+  FilterTaps ty = build_taps(sh, dh);
+
+  // horizontal pass: (sh, sw, c) -> (sh, dw, c) float
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw * c);
+  {
+    size_t woff_base = 0;
+    std::vector<size_t> woffs(dw);
+    for (int x = 0; x < dw; ++x) { woffs[x] = woff_base; woff_base += tx.count[x]; }
+    for (int y = 0; y < sh; ++y) {
+      const uint8_t* srow = src + static_cast<size_t>(y) * sw * c;
+      float* trow = tmp.data() + static_cast<size_t>(y) * dw * c;
+      for (int x = 0; x < dw; ++x) {
+        const float* wts = tx.weights.data() + woffs[x];
+        const int s0 = tx.start[x], n = tx.count[x];
+        for (int ch = 0; ch < c; ++ch) {
+          float acc = 0.0f;
+          for (int j = 0; j < n; ++j) acc += wts[j] * srow[(s0 + j) * c + ch];
+          trow[x * c + ch] = acc;
+        }
+      }
+    }
+  }
+  // vertical pass: (sh, dw, c) -> (dh, dw, c) uint8
+  {
+    size_t woff = 0;
+    for (int y = 0; y < dh; ++y) {
+      const float* wts = ty.weights.data() + woff;
+      const int s0 = ty.start[y], n = ty.count[y];
+      woff += n;
+      uint8_t* drow = dst + static_cast<size_t>(y) * dw * c;
+      for (int x = 0; x < dw * c; ++x) {
+        float acc = 0.0f;
+        for (int j = 0; j < n; ++j)
+          acc += wts[j] * tmp[static_cast<size_t>(s0 + j) * dw * c + x];
+        drow[x] = static_cast<uint8_t>(std::lround(
+            std::max(0.0f, std::min(255.0f, acc))));
+      }
+    }
+  }
+  return 0;
+}
+
+// Fused: bilinear resize of src into the top-left of a (th, tw) canvas filled
+// with `fill`, then (x/255 - mean)/std into float32 out (th*tw*c).
+int resize_pad_normalize_f32(const uint8_t* src, int sh, int sw, int c,
+                             float* out, int th, int tw,
+                             int rh, int rw,  // resize target (<= canvas)
+                             const float* mean, const float* std_, int fill) {
+  if (rh > th || rw > tw) return -1;
+  std::vector<uint8_t> resized(static_cast<size_t>(rh) * rw * c);
+  int rc = resize_bilinear_u8(src, sh, sw, c, resized.data(), rh, rw);
+  if (rc != 0) return rc;
+  std::vector<float> inv_std(c), mean_v(c);
+  for (int ch = 0; ch < c; ++ch) {
+    inv_std[ch] = 1.0f / std_[ch];
+    mean_v[ch] = mean[ch];
+  }
+  const float fillf = static_cast<float>(fill) / 255.0f;
+  for (int y = 0; y < th; ++y) {
+    float* orow = out + static_cast<size_t>(y) * tw * c;
+    if (y < rh) {
+      const uint8_t* rrow = resized.data() + static_cast<size_t>(y) * rw * c;
+      for (int x = 0; x < rw; ++x)
+        for (int ch = 0; ch < c; ++ch)
+          orow[x * c + ch] = (rrow[x * c + ch] * (1.0f / 255.0f) - mean_v[ch]) * inv_std[ch];
+      for (int x = rw; x < tw; ++x)
+        for (int ch = 0; ch < c; ++ch)
+          orow[x * c + ch] = (fillf - mean_v[ch]) * inv_std[ch];
+    } else {
+      for (int x = 0; x < tw; ++x)
+        for (int ch = 0; ch < c; ++ch)
+          orow[x * c + ch] = (fillf - mean_v[ch]) * inv_std[ch];
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -292,6 +292,8 @@ class ImagePipeline:
 
     def __call__(self, img: Union[Image.Image, np.ndarray]) -> np.ndarray:
         x = _to_numpy(img)
+        if x.ndim == 3 and x.shape[2] == 1:
+            x = x[:, :, 0]  # native decoder emits (H, W, 1); pipeline works 2D
         if self.name == "legacy":
             pil = Image.fromarray(x) if not isinstance(img, Image.Image) else img
             pil = pil.resize(

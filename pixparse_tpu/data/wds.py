@@ -141,9 +141,20 @@ DEFAULT_IMAGE_KEY = "pdf;tif;tiff;png;jpg;jpeg"
 
 
 def decode_image_bytes(data: bytes, ext: str, image_fmt: str = "L", page_index: int = 0):
-    """Bytes -> PIL image in ``image_fmt``; multi-page TIFF seeks
-    ``page_index``; PDF rendering gated on pypdfium2 availability."""
+    """Bytes -> PIL image or (H, W, C) uint8 array in ``image_fmt``.
+
+    JPEG/PNG take the native fast path when ``libpixparse_native`` is built
+    (libjpeg decode, DCT-scaled for JPEG); multi-page TIFF seeks
+    ``page_index`` via PIL; PDF rendering gated on pypdfium2 availability.
+    """
     from PIL import Image
+
+    if ext in ("jpg", "jpeg", "png") and image_fmt in ("L", "RGB"):
+        from pixparse_tpu.native import decode_image
+
+        arr = decode_image(data, gray=image_fmt == "L")
+        if arr is not None:
+            return arr
 
     if ext == "pdf":
         try:
