@@ -99,17 +99,25 @@ def main():
     _note("bench: warmup/compile train step...")
     for _ in range(warmup):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # NOTE: scalar readback, not block_until_ready — the latter does not
+    # reliably synchronize through remote-TPU transports
+    float(jax.device_get(metrics["loss"]))
 
     _note("bench: timing...")
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     elapsed = time.perf_counter() - t0
 
     samples_per_sec = batch_size * steps / elapsed
     per_chip = samples_per_sec / n_chips
+    from pixparse_tpu.framework.profiling import cruller_train_flops, mfu
+
+    flops = cruller_train_flops(vit_cfg, bart_cfg, batch_size, text_len)
+    util = mfu(flops, elapsed / steps, n_chips=n_chips)
+    if util is not None:
+        _note(f"bench: step {elapsed / steps * 1e3:.1f} ms, MFU {util:.1%}")
     print(json.dumps({
         "metric": "cruller_base pretrain samples/sec/chip",
         "value": round(per_chip, 3),

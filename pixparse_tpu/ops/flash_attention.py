@@ -118,8 +118,8 @@ def flash_attention(
     k: jax.Array,  # (B, Lk, H, D)
     v: jax.Array,  # (B, Lk, H, D)
     causal: bool = False,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 1024,
 ) -> jax.Array:
     B, Lq, H, D = q.shape
     Lk = k.shape[1]

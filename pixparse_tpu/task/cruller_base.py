@@ -243,6 +243,7 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         )
         self.step_idx = 0
         self.interval_batch_idx = 0
+        self._flops_per_sample_step = None  # filled on first real batch
 
     # ------------------------------------------------------------------
     def train_interval_start(self):
@@ -298,6 +299,21 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
                 if self._time_last
                 else None
             )
+            extra = {}
+            if rate:
+                from pixparse_tpu.framework.profiling import cruller_train_flops, mfu
+
+                if self._flops_per_sample_step is None:
+                    self._flops_per_sample_step = cruller_train_flops(
+                        self.vit_cfg, self.bart_cfg, 1, batch["text"].shape[1]
+                    )
+                util = mfu(
+                    self._flops_per_sample_step * rate,  # flops/sec across chips
+                    1.0,
+                    n_chips=self.device_env.num_devices,
+                )
+                if util is not None:
+                    extra["mfu"] = round(util, 4)
             self._time_last = now
             self._samples_since_log = 0
             self.monitor.log_step(
@@ -308,6 +324,7 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
                 loss=loss,
                 rate=rate,
                 lr=self.get_current_lr(),
+                metrics=extra or None,
             )
         return {"loss": metrics["loss"]}
 
