@@ -190,3 +190,181 @@ def generate_naive(
     if pad_width:
         ids = jnp.pad(ids, ((0, 0), (0, pad_width)), constant_values=pad_token_id)
     return ids
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+class BeamResult(NamedTuple):
+    tokens: jax.Array  # (B, max_length) best beam, pad-filled after EOS
+    scores: jax.Array  # (B,) length-normalized log-prob of the best beam
+    all_tokens: jax.Array  # (B, K, max_length)
+    all_scores: jax.Array  # (B, K)
+
+
+def _gather_beam_cache(cache, flat_idx):
+    """Reorder per-sequence cache rows (leading dim B*K); scalar counters
+    (cache_index / position_offset) are shared and pass through."""
+    return jax.tree_util.tree_map(
+        lambda c: c if c.ndim == 0 else c[flat_idx], cache
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "num_beams", "max_length", "eos_token_id", "pad_token_id",
+    ),
+)
+def generate_beam(
+    model,
+    params,
+    encoder_output: jax.Array,  # (B, Lk, D)
+    prompt_ids: jax.Array,  # (B, Lp) int32, same prompt layout as generate()
+    *,
+    num_beams: int,
+    max_length: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    length_penalty: float = 1.0,
+) -> BeamResult:
+    """Jitted KV-cached beam search (HF-style: additive log-probs, finished
+    beams frozen by forcing pad, final ranking by score / length**penalty).
+
+    ``num_beams=1`` reduces exactly to :func:`generate` (greedy).
+    """
+    B, Lp = prompt_ids.shape
+    K = num_beams
+    V = None  # filled after prefill
+    assert Lp < max_length, "prompt longer than max_length"
+    decode_model = model.clone(max_cache_len=max_length)
+
+    # expand to (B*K, ...) flat beams
+    enc = jnp.repeat(encoder_output, K, axis=0)
+    prompts = jnp.repeat(prompt_ids.astype(jnp.int32), K, axis=0)
+
+    buffer = jnp.full((B * K, max_length), pad_token_id, jnp.int32)
+    buffer = jax.lax.dynamic_update_slice(buffer, prompts, (0, 0))
+
+    cache_shapes = jax.eval_shape(
+        lambda: decode_model.init(
+            jax.random.PRNGKey(0), prompts, enc, mode="prefill", method="decode"
+        )["cache"]
+    )
+    cache0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes
+    )
+    key_mask = buffer != pad_token_id
+    prefill_logits, mutated = decode_model.apply(
+        {"params": params, "cache": cache0},
+        prompts,
+        enc,
+        key_pad_mask=key_mask,
+        mode="prefill",
+        method="decode",
+        mutable=["cache"],
+    )
+    cache = mutated["cache"]
+    V = prefill_logits.shape[-1]
+
+    prompt_valid = (prompts != pad_token_id).sum(axis=1)
+    last_idx = jnp.maximum(prompt_valid - 1, 0)
+    carry_logits = jnp.take_along_axis(
+        prefill_logits, last_idx[:, None, None], axis=1
+    )[:, 0, :]  # (B*K, V)
+
+    # only beam 0 of each sample is "live" at start (identical prompts would
+    # otherwise produce K duplicate beams)
+    init_scores = jnp.tile(
+        jnp.where(jnp.arange(K) == 0, 0.0, -jnp.inf)[None, :], (B, 1)
+    )  # (B, K)
+
+    class BeamState(NamedTuple):
+        buffer: jax.Array  # (B*K, max_length)
+        cache: dict
+        logits: jax.Array  # (B*K, V)
+        scores: jax.Array  # (B, K) cumulative log-prob
+        finished: jax.Array  # (B*K,)
+        lengths: jax.Array  # (B*K,) generated length incl. eos
+        cur: jax.Array
+
+    def cond(s: BeamState):
+        return (s.cur < max_length) & ~jnp.all(s.finished)
+
+    def body(s: BeamState):
+        logprobs = jax.nn.log_softmax(s.logits.astype(jnp.float32), axis=-1)
+        fin = s.finished[:, None]
+        # finished beams: pad continues with score 0, everything else -inf
+        pad_onehot = jnp.where(
+            jnp.arange(V)[None, :] == pad_token_id, 0.0, -jnp.inf
+        )
+        logprobs = jnp.where(fin, pad_onehot, logprobs)
+
+        total = s.scores.reshape(B * K, 1) + logprobs  # (B*K, V)
+        flat = total.reshape(B, K * V)
+        top_scores, top_flat = jax.lax.top_k(flat, K)  # (B, K)
+        beam_idx = top_flat // V  # (B, K) source beam within sample
+        token = (top_flat % V).astype(jnp.int32)
+
+        flat_src = (
+            jnp.arange(B)[:, None] * K + beam_idx
+        ).reshape(-1)  # (B*K,) indices into flat beams
+        buffer = s.buffer[flat_src]
+        cache = _gather_beam_cache(s.cache, flat_src)
+        finished = s.finished[flat_src]
+        lengths = s.lengths[flat_src]
+
+        tok_flat = token.reshape(-1)
+        write_tok = jnp.where(finished, pad_token_id, tok_flat)
+        buffer = jax.lax.dynamic_update_slice(
+            buffer, write_tok[:, None], (0, s.cur)
+        )
+        newly_finished = finished | (tok_flat == eos_token_id)
+        lengths = jnp.where(finished, lengths, lengths + 1)
+
+        key_mask = buffer != pad_token_id
+        step_logits, mutated = decode_model.apply(
+            {"params": params, "cache": cache},
+            write_tok[:, None],
+            enc,
+            key_pad_mask=key_mask,
+            mode="decode",
+            method="decode",
+            mutable=["cache"],
+        )
+        return BeamState(
+            buffer=buffer,
+            cache=mutated["cache"],
+            logits=step_logits[:, -1, :],
+            scores=top_scores,
+            finished=newly_finished,
+            lengths=lengths,
+            cur=s.cur + 1,
+        )
+
+    init = BeamState(
+        buffer=buffer,
+        cache=cache,
+        logits=carry_logits,
+        scores=init_scores,
+        finished=jnp.zeros((B * K,), bool),
+        lengths=jnp.zeros((B * K,), jnp.int32),
+        cur=jnp.asarray(Lp, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    lengths = jnp.maximum(final.lengths.reshape(B, K), 1)
+    norm_scores = final.scores / (lengths.astype(jnp.float32) ** length_penalty)
+    best = jnp.argmax(norm_scores, axis=1)  # (B,)
+    all_tokens = final.buffer.reshape(B, K, max_length)
+    best_tokens = jnp.take_along_axis(
+        all_tokens, best[:, None, None], axis=1
+    )[:, 0]
+    best_scores = jnp.take_along_axis(norm_scores, best[:, None], axis=1)[:, 0]
+    return BeamResult(
+        tokens=best_tokens,
+        scores=best_scores,
+        all_tokens=all_tokens,
+        all_scores=norm_scores,
+    )
