@@ -8,7 +8,7 @@ composition is one jittable module whose forward is
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -16,13 +16,23 @@ from flax import linen as nn
 
 from pixparse_tpu.models.bart import BartCausalDecoder, BartDecoderCfg, resolve_bart_cfg
 from pixparse_tpu.models.config import ModelCfg
+from pixparse_tpu.models.swin import Swin, SwinCfg, resolve_swin_cfg
 from pixparse_tpu.models.vit import ViT, ViTCfg, resolve_vit_cfg
 
 
+def resolve_image_encoder_cfg(name: str, image_size, in_chans: int):
+    """Dispatch a timm-style encoder name to its family (ViT | Swin)."""
+    base = name.split(".")[0]
+    if base.startswith("swin") or base.startswith("donut_swin"):
+        return resolve_swin_cfg(name, tuple(image_size), in_chans)
+    return resolve_vit_cfg(name, tuple(image_size), in_chans)
+
+
 def resolve_cruller_cfgs(cfg: ModelCfg, vocab_size: Optional[int] = None):
-    """ModelCfg (registry JSON) -> concrete (ViTCfg, BartDecoderCfg, img stats)."""
+    """ModelCfg (registry JSON) -> concrete (encoder cfg, BartDecoderCfg,
+    img stats). Encoder cfg is a ViTCfg or SwinCfg by encoder name."""
     in_chans = 1 if cfg.image_encoder.image_fmt == "L" else 3
-    vit_cfg, stats = resolve_vit_cfg(
+    vit_cfg, stats = resolve_image_encoder_cfg(
         cfg.image_encoder.name, tuple(cfg.image_encoder.image_size), in_chans
     )
     bart_cfg = resolve_bart_cfg(
@@ -35,14 +45,17 @@ def resolve_cruller_cfgs(cfg: ModelCfg, vocab_size: Optional[int] = None):
 
 
 class Cruller(nn.Module):
-    vit_cfg: ViTCfg
+    vit_cfg: Any  # ViTCfg | SwinCfg (field name kept for checkpoint/test compat)
     bart_cfg: BartDecoderCfg
     dtype: jnp.dtype = jnp.float32
     max_cache_len: int = 0
     attn_impl: str = "xla"
 
     def setup(self):
-        self.image_encoder = ViT(self.vit_cfg, dtype=self.dtype, attn_impl=self.attn_impl)
+        if isinstance(self.vit_cfg, SwinCfg):
+            self.image_encoder = Swin(self.vit_cfg, dtype=self.dtype)
+        else:
+            self.image_encoder = ViT(self.vit_cfg, dtype=self.dtype, attn_impl=self.attn_impl)
         self.text_decoder = BartCausalDecoder(
             self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype
         )

@@ -323,9 +323,15 @@ def cruller_params_from_torch(
 ) -> Dict[str, Any]:
     """Reference Cruller ``.pt`` state dict -> flax Cruller params
     (``{"image_encoder": ..., "text_decoder": ...}``)."""
+    from pixparse_tpu.models.swin import SwinCfg
+
     sd = normalize_state_dict(state_dict)
+    if isinstance(vit_cfg, SwinCfg):
+        enc = swin_params_from_torch(sd, vit_cfg, prefix=_ENC_PREFIX)
+    else:
+        enc = vit_params_from_torch(sd, vit_cfg, prefix=_ENC_PREFIX)
     return {
-        "image_encoder": vit_params_from_torch(sd, vit_cfg, prefix=_ENC_PREFIX),
+        "image_encoder": enc,
         "text_decoder": bart_params_from_torch(sd, bart_cfg, prefix=_DEC_PREFIX),
     }
 
@@ -335,7 +341,12 @@ def cruller_params_to_torch(
     vit_cfg: ViTCfg,
     bart_cfg: BartDecoderCfg,
 ) -> Dict[str, np.ndarray]:
-    sd = vit_params_to_torch(params["image_encoder"], vit_cfg, prefix=_ENC_PREFIX)
+    from pixparse_tpu.models.swin import SwinCfg
+
+    if isinstance(vit_cfg, SwinCfg):
+        sd = swin_params_to_torch(params["image_encoder"], vit_cfg, prefix=_ENC_PREFIX)
+    else:
+        sd = vit_params_to_torch(params["image_encoder"], vit_cfg, prefix=_ENC_PREFIX)
     sd.update(
         bart_params_to_torch(
             params["text_decoder"],
@@ -376,3 +387,103 @@ def resize_token_embeddings(
     out = dict(decoder_params)
     out["embed_tokens"] = {"embedding": new_emb}
     return out
+
+
+# --------------------------------------------------------------------------
+# Swin (timm layout) <-> flax
+# --------------------------------------------------------------------------
+
+def swin_params_from_torch(
+    sd: Dict[str, np.ndarray],
+    cfg,  # SwinCfg
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """timm Swin state dict -> flax Swin params. ``relative_position_index``
+    buffers are static in our module and skipped."""
+    g = lambda k: sd[prefix + k]
+    p: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _patch_kernel_from_torch(
+                g("patch_embed.proj.weight"), cfg.in_chans
+            ),
+            "bias": g("patch_embed.proj.bias"),
+        },
+        "patch_norm": {
+            "scale": g("patch_embed.norm.weight"),
+            "bias": g("patch_embed.norm.bias"),
+        },
+    }
+    for s in range(cfg.num_stages):
+        for b in range(cfg.depths[s]):
+            base = f"layers.{s}.blocks.{b}."
+            p[f"layers_{s}_blocks_{b}"] = {
+                "norm1": _ln_from_torch(sd, prefix + base + "norm1"),
+                "attn": {
+                    "qkv": {
+                        "kernel": g(base + "attn.qkv.weight").T,
+                        "bias": g(base + "attn.qkv.bias"),
+                    },
+                    "proj": {
+                        "kernel": g(base + "attn.proj.weight").T,
+                        "bias": g(base + "attn.proj.bias"),
+                    },
+                    "relative_position_bias_table": g(
+                        base + "attn.relative_position_bias_table"
+                    ),
+                },
+                "norm2": _ln_from_torch(sd, prefix + base + "norm2"),
+                "mlp_fc1": {
+                    "kernel": g(base + "mlp.fc1.weight").T,
+                    "bias": g(base + "mlp.fc1.bias"),
+                },
+                "mlp_fc2": {
+                    "kernel": g(base + "mlp.fc2.weight").T,
+                    "bias": g(base + "mlp.fc2.bias"),
+                },
+            }
+        if s < cfg.num_stages - 1:
+            dbase = f"layers.{s}.downsample."
+            p[f"layers_{s}_downsample"] = {
+                "norm": _ln_from_torch(sd, prefix + dbase + "norm"),
+                "reduction": {"kernel": g(dbase + "reduction.weight").T},
+            }
+    p["norm"] = _ln_from_torch(sd, prefix + "norm")
+    return p
+
+
+def swin_params_to_torch(
+    params: Dict[str, Any],
+    cfg,  # SwinCfg
+    prefix: str = "",
+) -> Dict[str, np.ndarray]:
+    q = lambda x: np.asarray(x)
+    sd: Dict[str, np.ndarray] = {}
+    sd[prefix + "patch_embed.proj.weight"] = _patch_kernel_to_torch(
+        q(params["patch_embed"]["kernel"]), cfg.patch_size, cfg.in_chans
+    )
+    sd[prefix + "patch_embed.proj.bias"] = q(params["patch_embed"]["bias"])
+    _ln_to_torch(sd, prefix + "patch_embed.norm", params["patch_norm"])
+    for s in range(cfg.num_stages):
+        for b in range(cfg.depths[s]):
+            blk = params[f"layers_{s}_blocks_{b}"]
+            base = f"{prefix}layers.{s}.blocks.{b}."
+            _ln_to_torch(sd, base + "norm1", blk["norm1"])
+            sd[base + "attn.qkv.weight"] = q(blk["attn"]["qkv"]["kernel"]).T
+            sd[base + "attn.qkv.bias"] = q(blk["attn"]["qkv"]["bias"])
+            sd[base + "attn.proj.weight"] = q(blk["attn"]["proj"]["kernel"]).T
+            sd[base + "attn.proj.bias"] = q(blk["attn"]["proj"]["bias"])
+            sd[base + "attn.relative_position_bias_table"] = q(
+                blk["attn"]["relative_position_bias_table"]
+            )
+            _ln_to_torch(sd, base + "norm2", blk["norm2"])
+            sd[base + "mlp.fc1.weight"] = q(blk["mlp_fc1"]["kernel"]).T
+            sd[base + "mlp.fc1.bias"] = q(blk["mlp_fc1"]["bias"])
+            sd[base + "mlp.fc2.weight"] = q(blk["mlp_fc2"]["kernel"]).T
+            sd[base + "mlp.fc2.bias"] = q(blk["mlp_fc2"]["bias"])
+        if s < cfg.num_stages - 1:
+            ds = params[f"layers_{s}_downsample"]
+            dbase = f"{prefix}layers.{s}.downsample."
+            _ln_to_torch(sd, dbase + "norm", ds["norm"])
+            sd[dbase + "reduction.weight"] = q(ds["reduction"]["kernel"]).T
+    _ln_to_torch(sd, prefix + "norm", params["norm"])
+    return sd

@@ -249,3 +249,29 @@ def test_resize_token_embeddings_replay():
     )
     shrunk = resize_token_embeddings(grown, 10, seed=0)
     assert shrunk["embed_tokens"]["embedding"].shape == (10, 4)
+
+
+def test_swin_roundtrip_export_import():
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from pixparse_tpu.models.swin import Swin, resolve_swin_cfg
+    from pixparse_tpu.models.torch_interop import (
+        swin_params_from_torch,
+        swin_params_to_torch,
+    )
+
+    cfg, _ = resolve_swin_cfg("swin_test", (64, 64), 1)
+    model = Swin(cfg)
+    params = jax.tree_util.tree_map(
+        np.asarray,
+        nn.unbox(model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1))))["params"],
+    )
+    sd = swin_params_to_torch(params, cfg)
+    assert "layers.0.blocks.0.attn.relative_position_bias_table" in sd
+    assert "layers.0.downsample.reduction.weight" in sd
+    back = swin_params_from_torch(sd, cfg)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, back,
+    )
