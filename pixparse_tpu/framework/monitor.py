@@ -26,6 +26,25 @@ from typing import Any, Dict, Optional
 _logger = logging.getLogger(__name__)
 
 
+def _to_display_image(v):
+    """Normalized float (H, W, C) array -> display uint8 (H, W, C); None for
+    non-image values."""
+    import numpy as np
+
+    arr = np.asarray(v)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.dtype.kind not in "fiu":
+        return None
+    if arr.dtype.kind == "f":
+        lo, hi = float(arr.min()), float(arr.max())
+        arr = (arr - lo) / (hi - lo + 1e-8) * 255.0
+    arr = arr.clip(0, 255).astype("uint8")
+    if arr.shape[2] == 1:
+        arr = arr.repeat(3, axis=2)
+    return arr
+
+
 def summary_row_dict(results: Dict[str, Any], index=None, index_name="epoch") -> Dict[str, Any]:
     """Flatten per-phase nested dicts to one CSV row (parity:
     ``framework/monitor.py:25-39``)."""
@@ -160,6 +179,13 @@ class Monitor:
                 for k, v in eval_data.items():
                     if isinstance(v, str):
                         self.tb_writer.add_text(f"{k}/{topic}", v, step_idx)
+                    else:
+                        img = _to_display_image(v)
+                        if img is not None:
+                            # OCR gallery (parity: framework/monitor.py:209-218)
+                            self.tb_writer.add_image(
+                                f"{k}/{topic}", img, step_idx, dataformats="HWC"
+                            )
 
         if self.wandb_run is not None:
             row = {"step": step_idx}

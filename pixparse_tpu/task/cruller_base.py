@@ -286,9 +286,18 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         batch = self.normalize_batch(sample)
         sharded = self.device_env.shard_batch(batch)
         self.state, metrics = self.train_step_fn(self.state, sharded)
-        self.step_idx = int(self.state.step)
+        # host-side counter: reading state.step would force a device sync
+        # every step (the async dispatch pipeline is the throughput)
+        self.step_idx += 1
         self.batch_idx += 1
         self.interval_batch_idx += 1
+
+        if (
+            self.eval_frequency
+            and self.monitor
+            and self.step_idx % self.eval_frequency == 0
+        ):
+            self._log_train_reconstruction(batch)
         self._samples_since_log += batch["image"].shape[0] * self.device_env.process_count
 
         if self.monitor and self.interval_batch_idx % self.log_frequency == 0:
@@ -327,6 +336,63 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
                 metrics=extra or None,
             )
         return {"loss": metrics["loss"]}
+
+    # ------------------------------------------------------------------
+    def _log_train_reconstruction(self, batch: Dict[str, np.ndarray]):
+        """Train-time OCR reconstruction monitoring (parity:
+        ``task_cruller_pretrain.py:297-311,316-370`` — the reference's smoke
+        test that the model is learning; also fixes its latent TypeError,
+        SURVEY.md §7 tail): greedy-decode the current batch, log CER/WER and
+        an image/text gallery sample."""
+        try:
+            from pixparse_tpu.ops.generation import generate
+            from pixparse_tpu.utils.ocr_eval import (
+                max_target_length,
+                ocr_metrics_from_text,
+                restore_ignored,
+            )
+
+            n = min(4, batch["image"].shape[0])  # small slice: monitoring only
+            images = batch["image"][:n]
+            text = restore_ignored(batch["text"][:n], self.tokenizer.pad_token_id)
+            max_len = max_target_length(text, self.tokenizer.pad_token_id, 256)
+            prompt_ids = self.tokenizer(
+                self.task_start_token, add_special_tokens=False, return_tensors="np"
+            ).input_ids.astype(np.int32)
+            prompt = np.tile(prompt_ids, (n, 1))
+            enc = self.model.apply(
+                {"params": self.state.params}, jnp.asarray(images), method="encode"
+            )
+            result = generate(
+                self.model,
+                self.state.params,
+                enc,
+                jnp.asarray(prompt),
+                max_length=max(max_len, prompt.shape[1] + 2),
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+            )
+            preds = self.tokenizer.batch_decode(np.asarray(result.tokens))
+            refs = self.tokenizer.batch_decode(text.astype(np.int64))
+            metrics, recon = ocr_metrics_from_text(preds, refs)
+            if metrics:
+                eval_data = None
+                if recon:
+                    eval_data = {
+                        "original_text": recon["original_text"],
+                        "reconstructed_text": recon["reconstructed_text"],
+                        "image": images[0],
+                    }
+                self.monitor.log_step(
+                    "train",
+                    step_idx=self.step_idx,
+                    interval=self.interval_idx,
+                    phase_suffix="ocr_reconstruction",
+                    metrics=metrics,
+                    eval_data=eval_data,
+                )
+        except Exception as e:  # monitoring must never kill training
+            _logger.warning("train-time OCR reconstruction failed: %s", e)
 
     # ------------------------------------------------------------------
     def state_dict(self) -> Dict[str, Any]:

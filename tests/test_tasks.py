@@ -226,3 +226,26 @@ def test_eval_ocr_step_with_generation():
     metrics = task.step({"image": images, "text": text})
     # random model may emit empty text -> metrics may be empty; both are dicts
     assert isinstance(metrics, dict)
+
+
+def test_pretrain_train_time_reconstruction(caplog):
+    """eval_frequency triggers the OCR reconstruction monitor (and must not
+    raise — the reference version had a latent TypeError)."""
+    from pixparse_tpu.framework.monitor import Monitor
+    from pixparse_tpu.task import TaskCrullerPretrain, TaskCrullerPretrainCfg
+
+    env = _env()
+    cfg = _task_cfg(TaskCrullerPretrainCfg, eval_frequency=2)
+    mon = Monitor(experiment_name="t", output_dir=None, output_enabled=True)
+    task = TaskCrullerPretrain(cfg, env, mon)
+    task.train_setup(num_batches_per_interval=4)
+    rng = np.random.RandomState(0)
+    L = task.max_position_embeddings
+    batch = {
+        "image": rng.rand(8, 64, 48, 1).astype(np.float32),
+        "text": rng.randint(4, 200, (8, L)).astype(np.int64),
+        "target": rng.randint(4, 200, (8, L)).astype(np.int64),
+    }
+    for _ in range(2):
+        task.train_step(batch)
+    assert task.step_idx == 2  # host-side counter advanced
