@@ -45,7 +45,7 @@ def main():
     from pixparse_tpu.framework.train_state import create_train_state, make_train_step
     from pixparse_tpu.models.config import get_model_config
     from pixparse_tpu.models.cruller import Cruller, resolve_cruller_cfgs
-    from pixparse_tpu.ops.loss import cross_entropy_loss
+    from pixparse_tpu.ops.loss import chunked_cross_entropy_from_hidden
     from pixparse_tpu.parallel.mesh import create_mesh, shard_batch
 
     on_accelerator = jax.devices()[0].platform != "cpu"
@@ -81,11 +81,16 @@ def main():
     _note("bench: init done")
 
     def loss_fn(params, batch, rng):
-        logits = model.apply(
+        hidden = model.apply(
             {"params": params}, batch["image"], batch["text"],
             deterministic=False, rngs={"dropout": rng},
+            method="forward_hidden",
         )
-        loss, _ = cross_entropy_loss(logits, batch["target"])
+        loss, _ = chunked_cross_entropy_from_hidden(
+            hidden,
+            params["text_decoder"]["embed_tokens"]["embedding"].astype(hidden.dtype),
+            batch["target"],
+        )
         return loss, {}
 
     step = make_train_step(loss_fn, tx, mesh)

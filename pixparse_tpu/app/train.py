@@ -181,7 +181,24 @@ def main(argv=None):
     native_resume_dir = None
     if train_cfg.resume:
         checkpoint_path = train_cfg.checkpoint_path
-        if train_cfg.s3_bucket != "":
+        if not checkpoint_path:
+            # resume-latest: newest orbax train-state dir of this experiment
+            from pixparse_tpu.framework.checkpoint import latest_checkpoint
+
+            default_ckpt_dir = train_cfg.output_checkpoint_dir or os.path.join(
+                experiment_path, "checkpoints"
+            )
+            checkpoint_path = (
+                latest_checkpoint(os.path.join(default_ckpt_dir, train_cfg.experiment))
+                or ""
+            )
+            if checkpoint_path:
+                _logger.info("resume: found latest checkpoint %s", checkpoint_path)
+            else:
+                _logger.info("resume requested but no checkpoint found; fresh start")
+        if not checkpoint_path:
+            pass
+        elif train_cfg.s3_bucket != "":
             from pixparse_tpu.utils.s3_utils import load_checkpoint_from_s3
 
             _logger.info("s3 bucket specified. Loading checkpoint from s3.")

@@ -92,13 +92,31 @@ class HfDatasetLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
 
+        n = len(self.dataset)
+        backfill_rng = random.Random(self.seed * 7919 + self.interval)
+
+        def fetch(idx_list):
+            """Fetch items, replacing corrupt (None) samples so train batches
+            stay full — ragged batches would break the static batch sharding
+            (deviation from the reference's filter-only SafeDataset handling,
+            which torch collate tolerated)."""
+            items = []
+            for i in idx_list:
+                item = self.dataset[i]
+                retries = 0
+                while item is None and self.is_train and retries < 10:
+                    item = self.dataset[backfill_rng.randrange(n)]
+                    retries += 1
+                if item is not None:
+                    items.append(item)
+            return items
+
         def producer():
             try:
                 for batch_idx in batches:
                     if stop.is_set():
                         return
-                    items = [self.dataset[i] for i in batch_idx]
-                    items = [x for x in items if x is not None]
+                    items = fetch(batch_idx)
                     if not items:
                         continue
                     q.put(self.collate_fn(items))

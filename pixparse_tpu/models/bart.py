@@ -261,6 +261,7 @@ class BartCausalDecoder(nn.Module):
         key_pad_mask: Optional[jax.Array] = None,  # (B, max_cache_len) decode/prefill
         mode: str = "train",
         deterministic: bool = True,
+        return_hidden: bool = False,  # pre-head hidden for chunked CE
     ) -> jax.Array:
         c = self.cfg
         B, L = input_ids.shape
@@ -332,6 +333,11 @@ class BartCausalDecoder(nn.Module):
 
         if c.add_final_layer_norm:
             x = _ln("final_norm", c.ln_eps, self.dtype)(x)
+        if return_hidden:
+            # training fast path: the loss computes the tied head per
+            # sequence chunk (ops/loss.py chunked CE) so (B, L, V) logits
+            # never materialize
+            return x
         # tied LM head: matmul in compute dtype (bf16 on TPU, matching the
         # reference's autocast semantics), logits surfaced in fp32 for the loss
         logits = embed_tokens.attend(x).astype(jnp.float32)

@@ -78,6 +78,24 @@ class Cruller(nn.Module):
     def encode(self, image_input: jax.Array, deterministic: bool = True) -> jax.Array:
         return self.image_encoder(image_input, deterministic=deterministic)
 
+    def forward_hidden(
+        self,
+        image_input: jax.Array,
+        text_input: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Training fast path: full forward returning pre-head decoder hidden
+        states (B, L, D) for the chunked tied-head CE (ops/loss.py)."""
+        encoder_output = self.image_encoder(image_input, deterministic=deterministic)
+        return self.text_decoder(
+            text_input,
+            encoder_output,
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+            return_hidden=True,
+        )
+
     def decode(
         self,
         input_ids: jax.Array,

@@ -39,7 +39,7 @@ from pixparse_tpu.models.torch_interop import (
     resize_token_embeddings,
 )
 from pixparse_tpu.ops.generation import generate
-from pixparse_tpu.ops.loss import cross_entropy_loss
+from pixparse_tpu.ops.loss import chunked_cross_entropy_from_hidden, cross_entropy_loss
 from pixparse_tpu.task.common import (
     SPECIAL_TOKENS_FROM_PRETRAIN,
     add_special_tokens,
@@ -146,6 +146,13 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
             cfg.tokenizer, self.base_special_tokens, self.finetune_special_tokens
         )
         self.max_position_embeddings = cfg.model.text_decoder.max_length
+        # finetune collates tokenize to a fixed 512 in the reference
+        # (``task_cruller_finetune_CORD.py:403``); clamp to the model's
+        # position table so small configs can't index OOB positions
+        if getattr(self, "collate_text_length", None):
+            self.collate_text_length = min(
+                type(self).collate_text_length, self.max_position_embeddings
+            )
         self.compute_dtype = _compute_dtype(cfg.dtype)
         self.num_image_chs = 1 if cfg.model.image_encoder.image_fmt == "L" else 3
 
@@ -228,14 +235,21 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         model = self.model
 
         def loss_fn(params, batch, rng):
-            logits = model.apply(
+            hidden = model.apply(
                 {"params": params},
                 batch["image"],
                 batch["text"],
                 deterministic=False,
                 rngs={"dropout": rng},
+                method="forward_hidden",
             )
-            loss, _ = cross_entropy_loss(logits, batch["target"])
+            loss, _ = chunked_cross_entropy_from_hidden(
+                hidden,
+                params["text_decoder"]["embed_tokens"]["embedding"].astype(
+                    hidden.dtype
+                ),
+                batch["target"],
+            )
             return loss, {}
 
         self.train_step_fn = make_train_step(
@@ -421,6 +435,10 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
             cfg.tokenizer, self.base_special_tokens, self.finetune_special_tokens
         )
         self.max_position_embeddings = cfg.model.text_decoder.max_length
+        self.collate_text_length = min(512, self.max_position_embeddings)
+        self.max_generation_length = min(
+            type(self).max_generation_length, self.max_position_embeddings
+        )
         self.compute_dtype = _compute_dtype(cfg.dtype)
         self.num_image_chs = 1 if cfg.model.image_encoder.image_fmt == "L" else 3
         self.vit_cfg, self.bart_cfg, stats = resolve_cruller_cfgs(

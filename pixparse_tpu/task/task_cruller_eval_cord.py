@@ -77,7 +77,7 @@ class TaskCrullerEvalCORD(BaseCrullerEvalTask):
                 self.task_start_token + tokens_from_json + self.tokenizer.eos_token
             )
             images.append(self.prepare_image(item["image"]))
-        text_inputs = tokenize_batch(self.tokenizer, texts, 512)
+        text_inputs = tokenize_batch(self.tokenizer, texts, self.collate_text_length)
         targets = np.stack(
             [
                 text_input_to_target(t, self.tokenizer, self.prompt_end_token)

@@ -238,3 +238,36 @@ def test_checkpoint_roundtrip(tmp_path):
     s1, m1 = step(state, sharded)
     s2, m2 = step(restored, sharded)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_chunked_ce_matches_full():
+    """Chunked tied-head CE == full-logits CE (values and grads)."""
+    import optax
+
+    from pixparse_tpu.ops.loss import (
+        chunked_cross_entropy_from_hidden,
+        cross_entropy_loss,
+    )
+
+    rng = np.random.RandomState(0)
+    B, L, D, V = 2, 37, 16, 53  # L deliberately not a chunk multiple
+    hidden = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    emb = jnp.asarray(rng.randn(V, D).astype(np.float32))
+    targets = rng.randint(0, V, (B, L))
+    targets[:, -5:] = -100
+    targets = jnp.asarray(targets)
+
+    def full(h, e):
+        logits = h @ e.T
+        return cross_entropy_loss(logits, targets)[0]
+
+    def chunked(h, e):
+        return chunked_cross_entropy_from_hidden(h, e, targets, chunk_size=8)[0]
+
+    np.testing.assert_allclose(
+        float(full(hidden, emb)), float(chunked(hidden, emb)), rtol=1e-5
+    )
+    gf = jax.grad(full, argnums=(0, 1))(hidden, emb)
+    gc = jax.grad(chunked, argnums=(0, 1))(hidden, emb)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -73,8 +73,9 @@ def test_cord_collate_masking_and_shift():
     }
     batch = task.collate_fn([item, item])
     assert batch["image"].shape == (2, 64, 48, 1)
-    assert batch["label"].shape == (2, 511)
-    assert batch["text_target"].shape == (2, 511)
+    # collate length = min(512, max_position_embeddings=128), shifted
+    assert batch["label"].shape == (2, 127)
+    assert batch["text_target"].shape == (2, 127)
     # prompt token (<s_cord>) is never a target; -100 until after prompt end
     assert batch["text_target"][0, 0] != task.tokenizer.convert_tokens_to_ids("<s_cord>")
     # shift: label[i+1] token is predicted at target position i (non-masked head)
