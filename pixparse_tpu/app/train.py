@@ -58,6 +58,8 @@ class TrainCfg:
     wandb_project: str = "unknown"
     tensorboard: bool = False
     log_eval_data: bool = False
+    profile: bool = False  # jax.profiler trace of the first interval
+    profile_dir: str = ""  # default {experiment}/profile
 
 
 def train(cfg: TrainCfg, task, loaders: Dict[str, object]):
@@ -66,7 +68,16 @@ def train(cfg: TrainCfg, task, loaders: Dict[str, object]):
     for i in range(task.start_interval, task.num_intervals):
         train_loader.set_interval(i)
         task.interval_idx = i
-        train_one_interval(task, train_loader)
+        if cfg.profile and i == task.start_interval:
+            from pixparse_tpu.framework.profiling import trace
+
+            logdir = cfg.profile_dir or os.path.join(
+                cfg.output_dir, cfg.experiment, "profile"
+            )
+            with trace(logdir):
+                train_one_interval(task, train_loader)
+        else:
+            train_one_interval(task, train_loader)
 
         if device_env.is_primary():
             checkpoint_dir = os.path.join(cfg.output_checkpoint_dir, cfg.experiment)

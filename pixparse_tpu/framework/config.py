@@ -45,6 +45,7 @@ class TaskTrainCfg:
     opt: OptimizationCfg = field(default_factory=OptimizationCfg)
     dtype: Optional[str] = None  # compute dtype: 'bfloat16'/'bf16'/'float16'/None(fp32)
     amp: bool = True  # kept for flag parity; TPU path = bf16 compute policy
+    remat: bool = False  # rematerialize transformer blocks (fit bigger batches)
     model_name: str = ""
     mesh: MeshCfg = field(default_factory=MeshCfg)
 

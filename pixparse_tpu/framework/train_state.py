@@ -105,18 +105,38 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     donate: bool = True,
+    skip_nonfinite: bool = True,
 ) -> Callable:
     """Build the jitted train step: grad, clip/decay/schedule via ``tx``,
-    apply, metrics. ``loss_fn`` closes over the model apply."""
+    apply, metrics. ``loss_fn`` closes over the model apply.
+
+    ``skip_nonfinite``: a NaN/inf gradient step is dropped (params/opt state
+    unchanged, step still counts) and surfaced via ``metrics['nonfinite']`` —
+    the NaN-guard SURVEY.md §5.2 calls for (the reference has none; one bad
+    batch poisons the run)."""
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
         step_rng = jax.random.fold_in(state.rng, state.step)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, step_rng
         )
+        grad_norm = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = dict(loss=loss, grad_norm=optax.global_norm(grads))
+        metrics = dict(loss=loss, grad_norm=grad_norm)
+        if skip_nonfinite:
+            ok = jnp.isfinite(grad_norm) & jnp.isfinite(loss)
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_params, state.params
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old)
+                if isinstance(new, jax.Array) and new.ndim == old.ndim
+                else new,
+                new_opt_state,
+                state.opt_state,
+            )
+            metrics["nonfinite"] = (~ok).astype(jnp.int32)
         metrics.update(aux)
         new_state = state.replace(
             step=state.step + 1,

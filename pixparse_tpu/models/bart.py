@@ -251,6 +251,7 @@ class BartCausalDecoder(nn.Module):
     cfg: BartDecoderCfg
     max_cache_len: int = 0
     dtype: Dtype = jnp.float32
+    remat: bool = False  # rematerialize decoder layers (memory <- recompute)
 
     @nn.compact
     def __call__(
@@ -320,15 +321,22 @@ class BartCausalDecoder(nn.Module):
                     key_pad_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
                 )
 
+        layer_cls = BartDecoderLayer
+        if self.remat and mode == "train":
+            # trade the (B, H, L, L) fp32 attention-score tensors for
+            # recompute — the dominant non-logits train allocation at L=1023
+            # static_argnums index __call__ args with self at 0: mode (4)
+            # and deterministic (5) are Python-level statics
+            layer_cls = nn.remat(BartDecoderLayer, static_argnums=(4, 5))
         for i in range(c.decoder_layers):
-            x = BartDecoderLayer(
+            x = layer_cls(
                 c, self.max_cache_len, self.dtype, name=f"layers_{i}"
             )(
                 x,
                 encoder_hidden_states,
-                self_pad_bias=pad_bias,
-                mode=mode,
-                deterministic=deterministic,
+                pad_bias,
+                mode,
+                deterministic,
             )
 
         if c.add_final_layer_norm:

@@ -50,14 +50,19 @@ class Cruller(nn.Module):
     dtype: jnp.dtype = jnp.float32
     max_cache_len: int = 0
     attn_impl: str = "xla"
+    remat: bool = False  # rematerialize encoder blocks + decoder layers
 
     def setup(self):
         if isinstance(self.vit_cfg, SwinCfg):
             self.image_encoder = Swin(self.vit_cfg, dtype=self.dtype)
         else:
-            self.image_encoder = ViT(self.vit_cfg, dtype=self.dtype, attn_impl=self.attn_impl)
+            self.image_encoder = ViT(
+                self.vit_cfg, dtype=self.dtype, attn_impl=self.attn_impl,
+                remat=self.remat,
+            )
         self.text_decoder = BartCausalDecoder(
-            self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype
+            self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype,
+            remat=self.remat,
         )
 
     def __call__(

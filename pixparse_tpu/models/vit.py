@@ -148,6 +148,7 @@ class ViT(nn.Module):
     cfg: ViTCfg
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False  # rematerialize blocks (memory <- recompute)
 
     @nn.compact
     def __call__(self, images: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -196,8 +197,12 @@ class ViT(nn.Module):
             )(x)
 
         x = nn.with_logical_constraint(x, ("batch", "image_length", None))
+        block_cls = ViTBlock
+        if self.remat:
+            # static_argnums index __call__ args with self at 0
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
         for i in range(c.depth):
-            x = ViTBlock(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")(
+            x = block_cls(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")(
                 x, deterministic
             )
         x = nn.LayerNorm(

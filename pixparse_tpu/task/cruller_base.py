@@ -199,7 +199,8 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
             decoder_layers=self.bart_cfg.decoder_layers,
         )
         self.model = Cruller(
-            self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype
+            self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype,
+            remat=getattr(cfg, "remat", False),
         )
         text_len = self.max_position_embeddings - 1 if self.shift_in_step else (
             self.collate_text_length - 1
