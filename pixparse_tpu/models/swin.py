@@ -44,6 +44,7 @@ class SwinCfg:
     mlp_ratio: float = 4.0
     ln_eps: float = 1e-5
     drop_rate: float = 0.0
+    final_norm: bool = True  # timm applies a final LN; HF DonutSwin does not
 
     @property
     def num_stages(self) -> int:
@@ -299,11 +300,12 @@ class Swin(nn.Module):
                 x = PatchMerging(c, dim, dtype=self.dtype, name=f"layers_{stage}_downsample")(x)
                 dim *= 2
 
-        x = nn.LayerNorm(
-            epsilon=c.ln_eps, dtype=self.dtype, name="norm",
-            scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-            bias_init=_zeros(("embed",)),
-        )(x)
+        if c.final_norm:
+            x = nn.LayerNorm(
+                epsilon=c.ln_eps, dtype=self.dtype, name="norm",
+                scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+                bias_init=_zeros(("embed",)),
+            )(x)
         Bh, Hh, Wh, Ch = x.shape
         return x.reshape(Bh, Hh * Wh, Ch)
 
@@ -320,10 +322,10 @@ SWIN_ARCH_TABLE = {
         window_size=12, patch_size=4,
         mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
     ),
-    # Donut encoder (HF naver-clova-ix/donut-base layout)
+    # Donut encoder (HF naver-clova-ix/donut-base layout; no final LN)
     "donut_swin_base": dict(
         embed_dim=128, depths=(2, 2, 14, 2), num_heads=(4, 8, 16, 32),
-        window_size=10, patch_size=4,
+        window_size=10, patch_size=4, final_norm=False,
         mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
     ),
     # test-size model

@@ -447,7 +447,8 @@ def swin_params_from_torch(
                 "norm": _ln_from_torch(sd, prefix + dbase + "norm"),
                 "reduction": {"kernel": g(dbase + "reduction.weight").T},
             }
-    p["norm"] = _ln_from_torch(sd, prefix + "norm")
+    if cfg.final_norm:
+        p["norm"] = _ln_from_torch(sd, prefix + "norm")
     return p
 
 
@@ -485,5 +486,76 @@ def swin_params_to_torch(
             dbase = f"{prefix}layers.{s}.downsample."
             _ln_to_torch(sd, dbase + "norm", ds["norm"])
             sd[dbase + "reduction.weight"] = q(ds["reduction"]["kernel"]).T
-    _ln_to_torch(sd, prefix + "norm", params["norm"])
+    if "norm" in params:
+        _ln_to_torch(sd, prefix + "norm", params["norm"])
     return sd
+
+
+def swin_params_from_hf_donut(
+    sd: Dict[str, np.ndarray],
+    cfg,  # SwinCfg
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """HF ``DonutSwinModel`` state dict -> flax Swin params (the published
+    naver-clova-ix/donut-base encoder; reference wraps it in
+    ``task_donut_eval_ocr.py:44-47``). HF stores separate q/k/v Linears —
+    fused here into our qkv kernel in (q, k, v) column order."""
+    g = lambda k: sd[prefix + k]
+    p: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _patch_kernel_from_torch(
+                g("embeddings.patch_embeddings.projection.weight"), cfg.in_chans
+            ),
+            "bias": g("embeddings.patch_embeddings.projection.bias"),
+        },
+        "patch_norm": _ln_from_torch(sd, prefix + "embeddings.norm"),
+    }
+    for s in range(cfg.num_stages):
+        for b in range(cfg.depths[s]):
+            base = f"encoder.layers.{s}.blocks.{b}."
+            qkv_w = np.concatenate(
+                [
+                    g(base + "attention.self.query.weight").T,
+                    g(base + "attention.self.key.weight").T,
+                    g(base + "attention.self.value.weight").T,
+                ],
+                axis=1,
+            )
+            qkv_b = np.concatenate(
+                [
+                    g(base + "attention.self.query.bias"),
+                    g(base + "attention.self.key.bias"),
+                    g(base + "attention.self.value.bias"),
+                ]
+            )
+            p[f"layers_{s}_blocks_{b}"] = {
+                "norm1": _ln_from_torch(sd, prefix + base + "layernorm_before"),
+                "attn": {
+                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    "proj": {
+                        "kernel": g(base + "attention.output.dense.weight").T,
+                        "bias": g(base + "attention.output.dense.bias"),
+                    },
+                    "relative_position_bias_table": g(
+                        base + "attention.self.relative_position_bias_table"
+                    ),
+                },
+                "norm2": _ln_from_torch(sd, prefix + base + "layernorm_after"),
+                "mlp_fc1": {
+                    "kernel": g(base + "intermediate.dense.weight").T,
+                    "bias": g(base + "intermediate.dense.bias"),
+                },
+                "mlp_fc2": {
+                    "kernel": g(base + "output.dense.weight").T,
+                    "bias": g(base + "output.dense.bias"),
+                },
+            }
+        if s < cfg.num_stages - 1:
+            dbase = f"encoder.layers.{s}.downsample."
+            p[f"layers_{s}_downsample"] = {
+                "norm": _ln_from_torch(sd, prefix + dbase + "norm"),
+                "reduction": {"kernel": g(dbase + "reduction.weight").T},
+            }
+    if cfg.final_norm and prefix + "layernorm.weight" in sd:
+        p["norm"] = _ln_from_torch(sd, prefix + "layernorm")
+    return p

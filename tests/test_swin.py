@@ -89,3 +89,44 @@ def test_donut_swin_base_resolution():
     assert cfg.out_dim == 1024
     with pytest.raises(ValueError):
         resolve_swin_cfg("donut_swin_base", (100, 100), 3)
+
+
+def test_swin_logits_match_hf_donut():
+    """Gold parity: tiny random HF DonutSwinModel mapped into our Swin must
+    produce the same hidden states (window attention, shift masks, rel-pos
+    bias, patch merging all validated at once)."""
+    torch = pytest.importorskip("torch")
+    from transformers import DonutSwinConfig, DonutSwinModel
+
+    from pixparse_tpu.models.torch_interop import (
+        normalize_state_dict,
+        swin_params_from_hf_donut,
+    )
+
+    hf_cfg = DonutSwinConfig(
+        image_size=32, patch_size=4, num_channels=3, embed_dim=16,
+        depths=[1, 2], num_heads=[2, 4], window_size=4,
+        use_absolute_embeddings=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0,
+    )
+    torch.manual_seed(0)
+    hf = DonutSwinModel(hf_cfg, add_pooling_layer=False)
+    hf.eval()
+
+    cfg = SwinCfg(
+        img_size=(32, 32), patch_size=4, in_chans=3, embed_dim=16,
+        depths=(1, 2), num_heads=(2, 4), window_size=4, final_norm=False,
+    )
+    params = swin_params_from_hf_donut(normalize_state_dict(hf.state_dict()), cfg)
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 3, 32, 32).astype(np.float32)  # NCHW for HF
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(img)).last_hidden_state.numpy()
+
+    model = Swin(cfg)
+    ours = model.apply(
+        {"params": params}, jnp.asarray(img.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-5, rtol=3e-5)
