@@ -88,6 +88,7 @@ class CachedSelfAttention(nn.Module):
     cfg: BartDecoderCfg
     max_cache_len: int = 0
     dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -109,7 +110,12 @@ class CachedSelfAttention(nn.Module):
         v = split(_dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)(x))
 
         if mode == "train":
-            out = dot_product_attention(q, k, v, bias=pad_bias, causal=True, dtype=self.dtype)
+            # flash path taken when no pad bias (the training forward passes
+            # none — parity with the reference's mask-free teacher forcing)
+            out = dot_product_attention(
+                q, k, v, bias=pad_bias, causal=True, dtype=self.dtype,
+                impl=self.attn_impl,
+            )
         else:
             assert self.max_cache_len > 0, "decode modes need max_cache_len"
             cached_k = self.variable(
@@ -149,6 +155,7 @@ class CachedCrossAttention(nn.Module):
     cfg: BartDecoderCfg
     cache: bool = False
     dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -193,7 +200,10 @@ class CachedCrossAttention(nn.Module):
                 _dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)
             k, v = cached_k.value, cached_v.value
 
-        out = dot_product_attention(q, k, v, dtype=self.dtype)
+        out = dot_product_attention(
+            q, k, v, dtype=self.dtype,
+            impl=self.attn_impl if mode == "train" else "xla",
+        )
         out = out.reshape(B, L, c.d_model)
         return _dense(c.d_model, ("heads", "embed"), "out_proj", self.dtype)(out)
 
@@ -204,6 +214,7 @@ class BartDecoderLayer(nn.Module):
     cfg: BartDecoderCfg
     max_cache_len: int = 0
     dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -218,16 +229,17 @@ class BartDecoderLayer(nn.Module):
         dropout = nn.Dropout(rate=c.dropout)
 
         residual = x
-        x = CachedSelfAttention(c, self.max_cache_len, self.dtype, name="self_attn")(
-            x, pad_bias=self_pad_bias, mode=mode
-        )
+        x = CachedSelfAttention(
+            c, self.max_cache_len, self.dtype, self.attn_impl, name="self_attn"
+        )(x, pad_bias=self_pad_bias, mode=mode)
         x = dropout(x, deterministic=deterministic)
         x = _ln("self_attn_layer_norm", c.ln_eps, self.dtype)(residual + x)
 
         residual = x
-        x = CachedCrossAttention(c, cache=mode != "train", dtype=self.dtype, name="encoder_attn")(
-            x, encoder_hidden_states, mode=mode
-        )
+        x = CachedCrossAttention(
+            c, cache=mode != "train", dtype=self.dtype, attn_impl=self.attn_impl,
+            name="encoder_attn",
+        )(x, encoder_hidden_states, mode=mode)
         x = dropout(x, deterministic=deterministic)
         x = _ln("encoder_attn_layer_norm", c.ln_eps, self.dtype)(residual + x)
 
@@ -252,6 +264,7 @@ class BartCausalDecoder(nn.Module):
     max_cache_len: int = 0
     dtype: Dtype = jnp.float32
     remat: bool = False  # rematerialize decoder layers (memory <- recompute)
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -330,7 +343,7 @@ class BartCausalDecoder(nn.Module):
             layer_cls = nn.remat(BartDecoderLayer, static_argnums=(4, 5))
         for i in range(c.decoder_layers):
             x = layer_cls(
-                c, self.max_cache_len, self.dtype, name=f"layers_{i}"
+                c, self.max_cache_len, self.dtype, self.attn_impl, name=f"layers_{i}"
             )(
                 x,
                 encoder_hidden_states,

@@ -62,7 +62,7 @@ class Cruller(nn.Module):
             )
         self.text_decoder = BartCausalDecoder(
             self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype,
-            remat=self.remat,
+            remat=self.remat, attn_impl=self.attn_impl,
         )
 
     def __call__(

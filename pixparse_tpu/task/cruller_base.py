@@ -201,6 +201,7 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         self.model = Cruller(
             self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype,
             remat=getattr(cfg, "remat", False),
+            attn_impl=getattr(cfg, "attn_impl", "xla"),
         )
         text_len = self.max_position_embeddings - 1 if self.shift_in_step else (
             self.collate_text_length - 1

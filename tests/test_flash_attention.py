@@ -46,3 +46,34 @@ def test_attention_entry_point_flash_impl():
     out = dot_product_attention(q, k, v, impl="flash")
     ref = dot_product_attention(q, k, v, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gradients_match_xla(causal):
+    q, k, v = _rand_qkv(2, 160, 160, 2, 64, seed=4)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal, block_q=128, block_k=128) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v, causal=causal, impl="xla") ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
+
+def test_flash_gradients_cross_attention_unaligned():
+    q, k, v = _rand_qkv(1, 100, 75, 3, 32, seed=5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v, impl="xla") ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
