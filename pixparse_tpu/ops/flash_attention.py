@@ -53,7 +53,7 @@ def _pad_to(x, size, axis):
 def _fwd_kernel(
     q_ref, k_ref, v_ref,  # (1, block, Dp)
     o_ref,  # (1, block_q, Dp)
-    lse_ref,  # (1, block_q)
+    lse_ref,  # (1, block_q, LANES) lane-broadcast (TPU tile constraints)
     m_scratch, l_scratch,  # (block_q, LANES) f32
     acc_scratch,  # (block_q, Dp) f32
     *, scale, causal, block_q, block_k, kv_len,
@@ -106,9 +106,9 @@ def _fwd_kernel(
         o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
         # lse = m + log(l); fully-masked rows keep NEG_INF
         lse = jnp.where(
-            l[:, 0] > 0.0, m_scratch[:, 0] + jnp.log(safe_l[:, 0]), NEG_INF
-        )
-        lse_ref[0, :] = lse
+            l > 0.0, m_scratch[:, :1] + jnp.log(safe_l), NEG_INF
+        )  # (block_q, 1)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, out_dtype):
@@ -126,7 +126,7 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, out_dtype)
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((BH, Lq_p, Dp), out_dtype),
-            jax.ShapeDtypeStruct((BH, Lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Lq_p, LANES), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -136,7 +136,7 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, out_dtype)
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, qi, ki: (bh, qi)),
+            pl.BlockSpec((1, block_q, LANES), lambda bh, qi, ki: (bh, qi, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -152,7 +152,7 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, out_dtype)
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dq_ref,
     dq_scratch,  # (block_q, Dp) f32
     *, scale, causal, block_q, block_k, kv_len,
@@ -177,14 +177,16 @@ def _bwd_dq_kernel(
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         mask = mask & (col <= row)
     s = jnp.where(mask, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, None])  # (block_q, block_k)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # (block_q, block_k)
 
+    do = do_ref[0].astype(jnp.float32)
+    delta = jnp.sum(do * o_ref[0].astype(jnp.float32), axis=1, keepdims=True)
     dp = jax.lax.dot_general(
-        do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
+        do, v_ref[0].astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0][:, None]) * scale
+    ds = p * (dp - delta) * scale
     dq_scratch[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -197,7 +199,7 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,  # (block_k, Dp) f32
     *, scale, causal, block_q, block_k, kv_len,
@@ -223,9 +225,10 @@ def _bwd_dkv_kernel(
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         mask = mask & (col <= row)
     s = jnp.where(mask, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, None])  # (block_q, block_k)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # (block_q, block_k)
 
     do = do_ref[0].astype(jnp.float32)
+    delta = jnp.sum(do * o_ref[0].astype(jnp.float32), axis=1, keepdims=True)
     dv_scratch[:] += jax.lax.dot_general(
         p, do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -235,7 +238,7 @@ def _bwd_dkv_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0][:, None]) * scale  # (block_q, block_k)
+    ds = p * (dp - delta) * scale  # (block_q, block_k)
     dk_scratch[:] += jax.lax.dot_general(
         ds, q.astype(jnp.float32),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -253,7 +256,6 @@ def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_le
 
     BH, Lq_p, Dp = qb.shape
     Lk_p = kb.shape[1]
-    delta = jnp.sum(ob.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
 
     grid_q = (BH, Lq_p // block_q, Lk_p // block_k)
     dq = pl.pallas_call(
@@ -268,13 +270,13 @@ def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_le
             pl.BlockSpec((1, block_k, Dp), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, Dp), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, qi, ki: (bh, qi)),
-            pl.BlockSpec((1, block_q), lambda bh, qi, ki: (bh, qi)),
+            pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda bh, qi, ki: (bh, qi, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, Dp), jnp.float32)],
         interpret=_interpret(),
-    )(qb, kb, vb, do, lse, delta)
+    )(qb, kb, vb, do, ob, lse)
 
     grid_k = (BH, Lk_p // block_k, Lq_p // block_q)
     dk, dv = pl.pallas_call(
@@ -292,8 +294,8 @@ def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_le
             pl.BlockSpec((1, block_k, Dp), lambda bh, ki, qi: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, Dp), lambda bh, ki, qi: (bh, ki, 0)),
             pl.BlockSpec((1, block_q, Dp), lambda bh, ki, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, ki, qi: (bh, qi)),
-            pl.BlockSpec((1, block_q), lambda bh, ki, qi: (bh, qi)),
+            pl.BlockSpec((1, block_q, Dp), lambda bh, ki, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda bh, ki, qi: (bh, qi, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, Dp), lambda bh, ki, qi: (bh, ki, 0)),
@@ -304,7 +306,7 @@ def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_le
             pltpu.VMEM((block_k, Dp), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qb, kb, vb, do, lse, delta)
+    )(qb, kb, vb, do, ob, lse)
     return dq, dk, dv
 
 

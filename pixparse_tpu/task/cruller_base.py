@@ -173,6 +173,7 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         self.resume_state_dict = None
         self._time_last = None
         self._samples_since_log = 0
+        self._last_loss_dev = None  # device scalar; materialized lazily
 
     # ------------------------------------------------------------------
     def prepare_image(self, img) -> np.ndarray:
@@ -274,6 +275,18 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
     def train_interval_end(self):
         if self.monitor:
             self.monitor.log_phase("train", interval=self.interval_idx)
+            self.monitor.write_summary(
+                {
+                    "train": {
+                        "step": self.step_idx,
+                        "lr": self.get_current_lr(),
+                        "loss": float(jax.device_get(self._last_loss_dev))
+                        if self._last_loss_dev is not None
+                        else None,
+                    }
+                },
+                index=self.interval_idx,
+            )
         self.interval_idx += 1
 
     # ------------------------------------------------------------------
@@ -302,6 +315,7 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         batch = self.normalize_batch(sample)
         sharded = self.device_env.shard_batch(batch)
         self.state, metrics = self.train_step_fn(self.state, sharded)
+        self._last_loss_dev = metrics["loss"]
         # host-side counter: reading state.step would force a device sync
         # every step (the async dispatch pipeline is the throughput)
         self.step_idx += 1
