@@ -51,8 +51,9 @@ def main():
     on_accelerator = jax.devices()[0].platform != "cpu"
     if on_accelerator:
         # reference pretrain semantics: tokenize pads to max_length=1024,
-        # train step shifts -> 1023 decoder positions every step
-        batch_size, text_len, steps, warmup = 8, 1023, 10, 3
+        # train step shifts -> 1023 decoder positions every step.
+        # B=16 + flash attention measured best samples/sec/chip on v5e.
+        batch_size, text_len, steps, warmup = 16, 1023, 10, 3
         model_name = "cruller_base"
     else:  # CPU smoke mode: tiny model so the script stays runnable anywhere
         batch_size, text_len, steps, warmup = 8, 64, 3, 1
@@ -60,7 +61,11 @@ def main():
 
     cfg = get_model_config(model_name)
     vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
-    model = Cruller(vit_cfg, bart_cfg, dtype=jnp.bfloat16 if on_accelerator else jnp.float32)
+    model = Cruller(
+        vit_cfg, bart_cfg,
+        dtype=jnp.bfloat16 if on_accelerator else jnp.float32,
+        attn_impl="flash" if on_accelerator else "xla",
+    )
     mesh = create_mesh()
     n_chips = mesh.devices.size
 

@@ -46,7 +46,7 @@ class TaskTrainCfg:
     dtype: Optional[str] = None  # compute dtype: 'bfloat16'/'bf16'/'float16'/None(fp32)
     amp: bool = True  # kept for flag parity; TPU path = bf16 compute policy
     remat: bool = False  # rematerialize transformer blocks (fit bigger batches)
-    attn_impl: str = "xla"  # 'xla' | 'flash' (Pallas kernel, train-mode attention)
+    attn_impl: str = "auto"  # 'auto' (flash on TPU) | 'xla' | 'flash' 
     model_name: str = ""
     mesh: MeshCfg = field(default_factory=MeshCfg)
 
