@@ -140,19 +140,26 @@ def iter_tar_samples(url: str) -> Iterator[Dict[str, Any]]:
 DEFAULT_IMAGE_KEY = "pdf;tif;tiff;png;jpg;jpeg"
 
 
-def decode_image_bytes(data: bytes, ext: str, image_fmt: str = "L", page_index: int = 0):
+def decode_image_bytes(
+    data: bytes,
+    ext: str,
+    image_fmt: str = "L",
+    page_index: int = 0,
+    target_size=None,
+):
     """Bytes -> PIL image or (H, W, C) uint8 array in ``image_fmt``.
 
-    JPEG/PNG take the native fast path when ``libpixparse_native`` is built
-    (libjpeg decode, DCT-scaled for JPEG); multi-page TIFF seeks
-    ``page_index`` via PIL; PDF rendering gated on pypdfium2 availability.
+    JPEG/PNG take the native fast path when ``libpixparse_native`` is built;
+    with ``target_size`` JPEGs decode DCT-scaled (1/2..1/8, never below the
+    target) — the dominant host-CPU cost for document scans. Multi-page TIFF
+    seeks ``page_index`` via PIL; PDF rendering gated on pypdfium2.
     """
     from PIL import Image
 
     if ext in ("jpg", "jpeg", "png") and image_fmt in ("L", "RGB"):
         from pixparse_tpu.native import decode_image
 
-        arr = decode_image(data, gray=image_fmt == "L")
+        arr = decode_image(data, gray=image_fmt == "L", target_size=target_size)
         if arr is not None:
             return arr
 
@@ -188,6 +195,7 @@ def create_doc_anno_pipe(
     The annotation is preprocessed first so its sampled page index selects the
     image page (multi-page formats)."""
     image_exts = [e.strip() for e in image_key.split(";") if e.strip()]
+    target_size = _decode_target_size(image_preprocess)
 
     def decode(sample: Dict[str, Any]):
         ext = next((e for e in image_exts if e in sample), None)
@@ -201,7 +209,9 @@ def create_doc_anno_pipe(
                 page_index = int(info["page_indices"][0])
             else:
                 token_dict, page_index = out, 0
-            img = decode_image_bytes(sample[ext], ext, image_fmt, page_index)
+            img = decode_image_bytes(
+                sample[ext], ext, image_fmt, page_index, target_size=target_size
+            )
             image = image_preprocess(img)
             return (
                 np.asarray(image),
@@ -215,6 +225,17 @@ def create_doc_anno_pipe(
     return decode
 
 
+def _decode_target_size(image_preprocess):
+    """Decode-time DCT-scale target: the pipeline's canvas size, except for
+    crop-margin pipelines (margin detection wants full resolution)."""
+    if image_preprocess is None:
+        return None
+    if getattr(image_preprocess, "crop_margin", False):
+        return None
+    size = getattr(image_preprocess, "image_size", None)
+    return tuple(size) if size else None
+
+
 def create_image_text_pipe(
     image_preprocess: Callable,
     anno_preprocess: Callable,
@@ -224,6 +245,7 @@ def create_image_text_pipe(
     """Eval decoder (parity: chug ``create_image_text_pipe``, used by
     ``app/eval.py:153-164``): like the doc pipe but keeps the raw text too."""
     image_exts = [e.strip() for e in image_key.split(";") if e.strip()]
+    target_size = _decode_target_size(image_preprocess)
 
     def decode(sample: Dict[str, Any]):
         ext = next((e for e in image_exts if e in sample), None)
@@ -237,7 +259,9 @@ def create_image_text_pipe(
                 page_index = int(info["page_indices"][0])
             else:
                 token_dict, info, page_index = out, {}, 0
-            img = decode_image_bytes(sample[ext], ext, image_fmt, page_index)
+            img = decode_image_bytes(
+                sample[ext], ext, image_fmt, page_index, target_size=target_size
+            )
             image = image_preprocess(img)
             return (
                 np.asarray(image),
