@@ -271,3 +271,28 @@ def test_chunked_ce_matches_full():
     gc = jax.grad(chunked, argnums=(0, 1))(hidden, emb)
     for a, b in zip(gf, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fsdp_mesh_shards_params():
+    """fsdp=2 mesh: embed-dim params shard over the fsdp axis (ZeRO-style)
+    with no model-code changes (logical axis rules)."""
+    model, vit_cfg, bart_cfg, _ = _tiny_model_and_batch()
+    import optax
+
+    mesh = create_mesh(data=4, fsdp=2, model=1)
+    tx = optax.adam(1e-3)
+    example = (
+        jnp.zeros((8, *vit_cfg.img_size, vit_cfg.in_chans)),
+        jnp.zeros((8, 16), jnp.int32),
+    )
+    state, shardings = create_train_state(model, tx, mesh, example, seed=0)
+    # patch_embed kernel logical axes are ("patch", "embed") -> embed on fsdp
+    kernel = state.params["image_encoder"]["patch_embed"]["kernel"]
+    spec = kernel.sharding.spec
+    assert "fsdp" in str(spec), spec
+    # one shard holds half the embed dim
+    shard_shape = kernel.addressable_shards[0].data.shape
+    assert shard_shape[1] == kernel.shape[1] // 2
+    # adam moments inherit the layout (GSPMD propagation)
+    mu_kernel = state.opt_state[0].mu["image_encoder"]["patch_embed"]["kernel"]
+    assert mu_kernel.sharding == kernel.sharding
