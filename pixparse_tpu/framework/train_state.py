@@ -83,11 +83,36 @@ def create_train_state(
 
     p_shardings = param_shardings(model, mesh, init_fn)
 
+    params_treedef = jax.tree_util.tree_structure(
+        jax.eval_shape(lambda: nn.unbox(init_fn()["params"]))
+    )
+
+    def constrain_opt_state(opt_state):
+        """Pin param-shaped subtrees (adam moments, accum buffers) to the
+        param shardings. Without this XLA replicates zeros_like-initialized
+        moments (a constant broadcast has no layout pressure), silently
+        defeating fsdp/ZeRO memory savings."""
+
+        def is_param_tree(x):
+            return (
+                not isinstance(x, jax.Array)
+                and jax.tree_util.tree_structure(x) == params_treedef
+            )
+
+        def fix(sub):
+            if is_param_tree(sub):
+                return jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint, sub, p_shardings
+                )
+            return sub
+
+        return jax.tree_util.tree_map(fix, opt_state, is_leaf=is_param_tree)
+
     def make_state():
         variables = init_fn()
         params = nn.unbox(variables["params"])
         params = jax.lax.with_sharding_constraint(params, p_shardings)
-        opt_state = tx.init(params)
+        opt_state = constrain_opt_state(tx.init(params))
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
