@@ -515,14 +515,31 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
             {"params": self.params}, jnp.asarray(images), method="encode"
         )
 
+    num_beams: int = 1  # >1 switches every eval decode to jitted beam search
+
     def generate_ids(
         self,
         images: np.ndarray,
         prompt_ids: np.ndarray,
         max_length: Optional[int] = None,
     ) -> np.ndarray:
-        """Batched jitted KV-cached greedy decode -> (B, max_length) ids."""
+        """Batched jitted KV-cached decode -> (B, max_length) ids (greedy by
+        default; beam search when ``num_beams > 1``)."""
         enc = self.encode_images(images)
+        if self.num_beams > 1:
+            from pixparse_tpu.ops.generation import generate_beam
+
+            result = generate_beam(
+                self.model,
+                self.params,
+                enc,
+                jnp.asarray(prompt_ids, jnp.int32),
+                num_beams=self.num_beams,
+                max_length=max_length or self.max_generation_length,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+            )
+            return np.asarray(result.tokens)
         result = generate(
             self.model,
             self.params,

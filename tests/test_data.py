@@ -268,3 +268,37 @@ def test_create_loader_webdataset(shard_dir, tok):
                            anno_preprocess=anno_fn)
     batch = next(iter(bundle.loader))
     assert batch[0].shape == (4, 64, 48, 1)
+
+
+def test_wds_interval_determinism(shard_dir, tok):
+    """Same interval -> identical batch stream (resumable shuffling);
+    different interval -> different order (parity: chug set_interval,
+    app/train.py:57)."""
+    from functools import partial
+
+    from pixparse_tpu.data.preprocess import preprocess_ocr_anno
+    from pixparse_tpu.data.wds import create_doc_anno_pipe, create_wds_loader
+
+    anno_pre = partial(
+        preprocess_ocr_anno, tokenizer=tok, max_position_embeddings=32,
+        task_start_token="<s>", prompt_end_token="<s>",
+    )
+    img_pre = lambda im: np.zeros((8, 8, 1), np.float32)
+    decoder = create_doc_anno_pipe(image_preprocess=img_pre, anno_preprocess=anno_pre)
+
+    def texts_for_interval(i):
+        bundle = create_wds_loader(
+            str(shard_dir / "shard-{0000..0001}.tar"), decoder,
+            is_train=True, num_samples=16, workers=1, batch_size=4, seed=7,
+        )
+        bundle.set_interval(i)
+        out = []
+        for batch in bundle.loader:
+            out.append(np.asarray(batch[1]))
+        return np.concatenate(out)
+
+    a = texts_for_interval(3)
+    b = texts_for_interval(3)
+    c = texts_for_interval(4)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
