@@ -204,9 +204,15 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
             # Pallas flash attention: +47% measured train throughput on v5e;
             # XLA on CPU (interpret-mode pallas is for tests only)
             attn_impl = "flash" if jax.devices()[0].platform != "cpu" else "xla"
+        remat = getattr(cfg, "remat", None)
+        if remat is None:
+            # auto: large models (cruller_large: 2508 tokens x 24 blocks)
+            # exceed v5e HBM without remat; base-size models run faster
+            # without (measured)
+            remat = self.vit_cfg.num_tokens * self.vit_cfg.depth > 20000
         self.model = Cruller(
             self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype,
-            remat=getattr(cfg, "remat", False),
+            remat=remat,
             attn_impl=attn_impl,
         )
         text_len = self.max_position_embeddings - 1 if self.shift_in_step else (
