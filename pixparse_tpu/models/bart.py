@@ -55,6 +55,7 @@ class BartDecoderCfg:
     eos_token_id: int = 2
     ln_eps: float = 1e-5
     pos_offset: int = 2  # BART quirk: positional table shifted by 2
+    pre_norm: bool = False  # mBART/Donut decoder: pre-LN layers + final LN
 
 
 def _dense(features, logical, name, dtype):
@@ -227,29 +228,51 @@ class BartDecoderLayer(nn.Module):
     ):
         c = self.cfg
         dropout = nn.Dropout(rate=c.dropout)
-
-        residual = x
-        x = CachedSelfAttention(
+        self_ln = _ln("self_attn_layer_norm", c.ln_eps, self.dtype)
+        cross_ln = _ln("encoder_attn_layer_norm", c.ln_eps, self.dtype)
+        ffn_ln = _ln("final_layer_norm", c.ln_eps, self.dtype)
+        self_attn = CachedSelfAttention(
             c, self.max_cache_len, self.dtype, self.attn_impl, name="self_attn"
-        )(x, pad_bias=self_pad_bias, mode=mode)
-        x = dropout(x, deterministic=deterministic)
-        x = _ln("self_attn_layer_norm", c.ln_eps, self.dtype)(residual + x)
-
-        residual = x
-        x = CachedCrossAttention(
+        )
+        cross_attn = CachedCrossAttention(
             c, cache=mode != "train", dtype=self.dtype, attn_impl=self.attn_impl,
             name="encoder_attn",
-        )(x, encoder_hidden_states, mode=mode)
+        )
+
+        def ffn(h):
+            h = _dense(c.decoder_ffn_dim, ("embed", "mlp"), "fc1", self.dtype)(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(rate=c.activation_dropout)(h, deterministic=deterministic)
+            h = _dense(c.d_model, ("mlp", "embed"), "fc2", self.dtype)(h)
+            return dropout(h, deterministic=deterministic)
+
+        if c.pre_norm:
+            # mBART layout (the Donut decoder): LN -> sublayer -> residual
+            x = x + dropout(
+                self_attn(self_ln(x), pad_bias=self_pad_bias, mode=mode),
+                deterministic=deterministic,
+            )
+            x = x + dropout(
+                cross_attn(cross_ln(x), encoder_hidden_states, mode=mode),
+                deterministic=deterministic,
+            )
+            x = x + ffn(ffn_ln(x))
+            return x
+
+        # BART layout: sublayer -> residual -> LN
+        residual = x
+        x = self_attn(x, pad_bias=self_pad_bias, mode=mode)
         x = dropout(x, deterministic=deterministic)
-        x = _ln("encoder_attn_layer_norm", c.ln_eps, self.dtype)(residual + x)
+        x = self_ln(residual + x)
 
         residual = x
-        h = _dense(c.decoder_ffn_dim, ("embed", "mlp"), "fc1", self.dtype)(x)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(rate=c.activation_dropout)(h, deterministic=deterministic)
-        h = _dense(c.d_model, ("mlp", "embed"), "fc2", self.dtype)(h)
-        h = dropout(h, deterministic=deterministic)
-        x = _ln("final_layer_norm", c.ln_eps, self.dtype)(residual + h)
+        x = cross_attn(x, encoder_hidden_states, mode=mode)
+        x = dropout(x, deterministic=deterministic)
+        x = cross_ln(residual + x)
+
+        residual = x
+        h = ffn(x)
+        x = ffn_ln(residual + h)
         return x
 
 
@@ -375,6 +398,13 @@ BART_ARCH_TABLE = {
     "facebook/bart-large": dict(
         vocab_size=50265, d_model=1024, decoder_layers=12,
         decoder_attention_heads=16, decoder_ffn_dim=4096,
+    ),
+    # Donut decoder: mBART layout (pre-LN + final LN, scaled embeddings),
+    # 4 layers, asian-bart vocab (naver-clova-ix/donut-base text tower)
+    "donut-mbart": dict(
+        vocab_size=57525, d_model=1024, decoder_layers=4,
+        decoder_attention_heads=16, decoder_ffn_dim=4096,
+        pre_norm=True, add_final_layer_norm=True, scale_embedding=True,
     ),
     # test-size decoder, not an HF name
     "bart-test": dict(

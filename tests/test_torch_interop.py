@@ -275,3 +275,49 @@ def test_swin_roundtrip_export_import():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params, back,
     )
+
+
+def test_mbart_decoder_logits_match_hf():
+    """Pre-LN (mBART/Donut) decoder parity vs a real HF MBartForCausalLM."""
+    from transformers import MBartConfig, MBartForCausalLM
+
+    config = MBartConfig(
+        vocab_size=128, d_model=32, decoder_layers=2,
+        decoder_attention_heads=4, decoder_ffn_dim=64,
+        max_position_embeddings=64, add_cross_attention=True, is_decoder=True,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        scale_embedding=True, activation_function="gelu",
+    )
+    torch.manual_seed(0)
+    hf_model = MBartForCausalLM(config)
+    hf_model.eval()
+
+    cfg = BartDecoderCfg(
+        vocab_size=config.vocab_size, d_model=config.d_model,
+        decoder_layers=config.decoder_layers,
+        decoder_attention_heads=config.decoder_attention_heads,
+        decoder_ffn_dim=config.decoder_ffn_dim,
+        max_position_embeddings=config.max_position_embeddings,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        pre_norm=True, add_final_layer_norm=True, scale_embedding=True,
+    )
+    sd = normalize_state_dict(hf_model.state_dict())
+    params = bart_params_from_torch(sd, cfg)
+
+    B, L, Lk = 2, 10, 7
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, cfg.vocab_size, (B, L)).astype(np.int64)
+    enc = rng.randn(B, Lk, cfg.d_model).astype(np.float32)
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_ids=torch.from_numpy(ids),
+            encoder_hidden_states=torch.from_numpy(enc),
+        ).logits.numpy()
+
+    from pixparse_tpu.models.bart import BartCausalDecoder
+
+    model = BartCausalDecoder(cfg)
+    ours = model.apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32), jnp.asarray(enc), mode="train"
+    )
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, atol=2e-4, rtol=2e-4)
