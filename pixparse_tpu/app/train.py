@@ -30,6 +30,7 @@ from pixparse_tpu.framework import (
     setup_logging,
     train_one_interval,
 )
+from pixparse_tpu.framework.task import StopTraining
 from pixparse_tpu.framework.checkpoint import (
     checkpoint_path as native_checkpoint_path,
     restore_train_state,
@@ -62,40 +63,76 @@ class TrainCfg:
     profile_dir: str = ""  # default {experiment}/profile
 
 
+def _save_interval_checkpoints(cfg: TrainCfg, task, interval: int):
+    device_env = task.device_env
+    checkpoint_dir = os.path.join(cfg.output_checkpoint_dir, cfg.experiment)
+    if device_env.is_primary():
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        # reference-compatible model-only .pt
+        from pixparse_tpu.models.torch_interop import save_torch_checkpoint
+
+        save_torch_checkpoint(
+            os.path.join(checkpoint_dir, f"checkpoint-{interval}.pt"),
+            task.state_dict(),
+        )
+    # full train state (all hosts participate in a sharded save)
+    save_checkpoint(
+        native_checkpoint_path(checkpoint_dir, interval),
+        task.state,
+        metadata={"interval": interval, "step": int(task.state.step)},
+    )
+
+
 def train(cfg: TrainCfg, task, loaders: Dict[str, object]):
+    # graceful preemption: SIGTERM/SIGINT checkpoints at the next step
+    # boundary before exiting (the reference loses the whole interval;
+    # SURVEY.md §2c "elastic / fault-tolerant training: absent")
+    import signal
+
+    preempted = {"flag": False}
+
+    def _request_stop(signum, frame):
+        _logger.warning("signal %s received: checkpointing then exiting", signum)
+        preempted["flag"] = True
+        task._stop_requested = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:  # non-main thread (tests)
+            pass
+
     device_env = task.device_env
     train_loader = loaders["train"]
     for i in range(task.start_interval, task.num_intervals):
         train_loader.set_interval(i)
         task.interval_idx = i
-        if cfg.profile and i == task.start_interval:
-            from pixparse_tpu.framework.profiling import trace
+        try:
+            if cfg.profile and i == task.start_interval:
+                from pixparse_tpu.framework.profiling import trace
 
-            logdir = cfg.profile_dir or os.path.join(
-                cfg.output_dir, cfg.experiment, "profile"
-            )
-            with trace(logdir):
+                logdir = cfg.profile_dir or os.path.join(
+                    cfg.output_dir, cfg.experiment, "profile"
+                )
+                with trace(logdir):
+                    train_one_interval(task, train_loader)
+            else:
                 train_one_interval(task, train_loader)
-        else:
-            train_one_interval(task, train_loader)
+        except StopTraining:
+            # mid-interval preemption: save as interval i-1-and-partial under
+            # the PREVIOUS interval index is wrong; save under i so
+            # resume-latest restarts this interval from its beginning
+            _save_interval_checkpoints(cfg, task, max(i - 1, 0))
+            _logger.warning("preempted during interval %d; state saved", i)
+            break
 
-        if device_env.is_primary():
-            checkpoint_dir = os.path.join(cfg.output_checkpoint_dir, cfg.experiment)
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            # reference-compatible model-only .pt
-            from pixparse_tpu.models.torch_interop import save_torch_checkpoint
+        _save_interval_checkpoints(cfg, task, i)
+        if preempted["flag"]:
+            break
 
-            save_torch_checkpoint(
-                os.path.join(checkpoint_dir, f"checkpoint-{i}.pt"),
-                task.state_dict(),
-            )
-        # full train state (all hosts participate in a sharded save)
-        checkpoint_dir = os.path.join(cfg.output_checkpoint_dir, cfg.experiment)
-        save_checkpoint(
-            native_checkpoint_path(checkpoint_dir, i),
-            task.state,
-            metadata={"interval": i, "step": int(task.state.step)},
-        )
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
 
 
 def build_parser() -> ConfigArgumentParser:

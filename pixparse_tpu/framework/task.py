@@ -24,6 +24,10 @@ from pixparse_tpu.parallel.mesh import MeshEnv
 _logger = logging.getLogger(__name__)
 
 
+class StopTraining(Exception):
+    """Raised from a train step when a graceful stop was requested."""
+
+
 class Task:
     def __init__(
         self,
@@ -70,6 +74,7 @@ class TaskTrain(Task):
         self.interval_idx = 0
         self.interval_batch_idx = 0
         self.start_interval = 0  # set by resume (app layer)
+        self._stop_requested = False  # set by the app's signal handler
 
         # optimization slots, filled by train_setup
         self.optimizer = None  # optax.GradientTransformation

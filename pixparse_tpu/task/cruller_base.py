@@ -323,6 +323,10 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         }
 
     def train_step(self, sample) -> Dict[str, Any]:
+        if self._stop_requested:
+            from pixparse_tpu.framework.task import StopTraining
+
+            raise StopTraining
         batch = self.normalize_batch(sample)
         sharded = self.device_env.shard_batch(batch)
         self.state, metrics = self.train_step_fn(self.state, sharded)

@@ -121,3 +121,46 @@ def test_train_cli_end_to_end(shard, tmp_path):
     # started from interval 1 -> only checkpoint-1 written
     assert "checkpoint-1.pt" in resumed_ckpts
     assert "checkpoint-0.pt" not in resumed_ckpts
+
+
+def test_graceful_preemption_saves_checkpoint(shard, tmp_path):
+    """A stop request mid-interval checkpoints and exits instead of losing
+    the run (reference has no preemption handling at all)."""
+    from pixparse_tpu.app.train import TrainCfg, train
+    from pixparse_tpu.data import create_loader
+    from pixparse_tpu.framework.config import OptimizationCfg
+    from pixparse_tpu.parallel.mesh import MeshEnv
+    from pixparse_tpu.task import TaskCrullerPretrain, TaskCrullerPretrainCfg
+    from pixparse_tpu.tokenizers import TokenizerCfg
+
+    env = MeshEnv.initialize()
+    task_cfg = TaskCrullerPretrainCfg(
+        model_name="cruller_test",
+        tokenizer=TokenizerCfg(name="pixparse_bytelevel"),
+        opt=OptimizationCfg(learning_rate=1e-4),
+        num_intervals=50,
+        num_warmup_intervals=1,
+    )
+    task = TaskCrullerPretrain(task_cfg, env, None)
+    loader = create_loader(
+        __import__("pixparse_tpu.data.config", fromlist=["DatasetCfg"]).DatasetCfg(
+            source=shard, num_samples=16, batch_size=8, split="train", num_workers=1
+        ),
+        is_train=True,
+        image_preprocess=task.image_preprocess_train,
+        anno_preprocess=task.anno_preprocess_train,
+    )
+    task.train_setup(num_batches_per_interval=loader.num_batches)
+    out_dir = str(tmp_path / "preempt")
+    cfg = TrainCfg(
+        experiment="preempt", output_dir=out_dir,
+        output_checkpoint_dir=os.path.join(out_dir, "ckpts"),
+    )
+
+    # simulate SIGTERM arriving after setup, before the first step
+    task._stop_requested = True
+    train(cfg, task, {"train": loader})
+    ckpts = os.listdir(os.path.join(out_dir, "ckpts", "preempt"))
+    assert "checkpoint-0.pt" in ckpts and "checkpoint-0" in ckpts
+    # loop exited immediately: no later checkpoints
+    assert "checkpoint-1.pt" not in ckpts

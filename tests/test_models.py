@@ -148,3 +148,46 @@ def test_generate_stops_on_eos(tiny):
     for row, n in zip(tokens, np.asarray(out.lengths)):
         # everything after the valid length is pad
         assert (row[n:] == 1).all()
+
+
+def test_pre_norm_decoder_cached_decode_matches_parallel():
+    """mBART (pre-LN) layout: KV-cached decode == teacher-forced forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixparse_tpu.models.bart import BartCausalDecoder, BartDecoderCfg
+
+    cfg = BartDecoderCfg(
+        vocab_size=64, d_model=32, decoder_layers=2, decoder_attention_heads=2,
+        decoder_ffn_dim=64, max_position_embeddings=32,
+        pre_norm=True, add_final_layer_norm=True, scale_embedding=True,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+    )
+    model = BartCausalDecoder(cfg)
+    rng = np.random.RandomState(0)
+    B, L, Lk = 2, 6, 5
+    ids = jnp.asarray(rng.randint(4, 64, (B, L)), jnp.int32)
+    enc = jnp.asarray(rng.randn(B, Lk, 32), jnp.float32)
+    import flax.linen as nn
+
+    params = nn.unbox(model.init(jax.random.PRNGKey(0), ids, enc))["params"]
+    ref = model.apply({"params": params}, ids, enc, mode="train")
+
+    decode_model = model.clone(max_cache_len=L)
+    cache_shapes = jax.eval_shape(
+        lambda: decode_model.init(jax.random.PRNGKey(0), ids[:, :1], enc, mode="prefill")["cache"]
+    )
+    cache = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+    outs = []
+    for t in range(L):
+        mode = "prefill" if t == 0 else "decode"
+        mask = jnp.arange(L)[None, :] <= t
+        logits, mut = decode_model.apply(
+            {"params": params, "cache": cache}, ids[:, t:t + 1], enc,
+            key_pad_mask=mask.astype(bool).repeat(B, 0), mode=mode,
+            mutable=["cache"],
+        )
+        cache = mut["cache"]
+        outs.append(logits[:, -1])
+    step_logits = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(step_logits), np.asarray(ref), atol=2e-5, rtol=2e-5)
