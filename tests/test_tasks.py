@@ -250,3 +250,27 @@ def test_pretrain_train_time_reconstruction(caplog):
     for _ in range(2):
         task.train_step(batch)
     assert task.step_idx == 2  # host-side counter advanced
+
+
+def test_eval_docvqa_step_and_anls():
+    from pixparse_tpu.task import TaskCrullerEvalDOCVQA, TaskCrullerEvalDOCVQACfg
+
+    env = _env()
+    task = TaskCrullerEvalDOCVQA(_task_cfg(TaskCrullerEvalDOCVQACfg), env, None)
+    task.max_generation_length = 20
+    task.setup()
+    batch = task.collate_fn([
+        {"image": _pil_image(seed=1),
+         "labels": {"question": "what is this?", "answers": ["a receipt"]},
+         "question_id": 7},
+        {"image": _pil_image(seed=2),
+         "labels": {"question": "total?", "answers": ["5.00", "$5.00"]},
+         "question_id": 8},
+    ])
+    assert batch["images"].shape == (2, 64, 48, 1)
+    task.step(batch)
+    assert len(task.all_predictions) == 2
+    avg = task.average_metrics({})
+    assert "ANLS" in avg and 0.0 <= avg["ANLS"] <= 1.0
+    # accumulators reset after averaging
+    assert task.all_predictions == []
