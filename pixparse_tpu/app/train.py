@@ -175,6 +175,13 @@ def main(argv=None):
     train_cfg: TrainCfg = args.train
     data_cfg: DataCfg = args.data
 
+    import jax
+
+    if jax.devices()[0].platform != "cpu":
+        # threefry dropout-mask generation costs ~10% of a cruller_base train
+        # step on v5e (measured); rbg cuts it to ~2% with no training impact
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     device_env = MeshEnv.initialize(
         data=args.task.mesh.data, fsdp=args.task.mesh.fsdp, model=args.task.mesh.model
     )
