@@ -63,7 +63,13 @@ class TrainCfg:
     profile_dir: str = ""  # default {experiment}/profile
 
 
-def _save_interval_checkpoints(cfg: TrainCfg, task, interval: int):
+def _save_interval_checkpoints(
+    cfg: TrainCfg, task, interval: int, completed: bool = True
+):
+    """``completed=False`` (preemption mid-interval): the weights snapshot is
+    written under this interval's name, but metadata records the previous
+    interval as the last complete one, so resume re-runs this interval from
+    its start instead of skipping its remaining batches."""
     device_env = task.device_env
     checkpoint_dir = os.path.join(cfg.output_checkpoint_dir, cfg.experiment)
     if device_env.is_primary():
@@ -76,10 +82,11 @@ def _save_interval_checkpoints(cfg: TrainCfg, task, interval: int):
             task.state_dict(),
         )
     # full train state (all hosts participate in a sharded save)
+    last_complete = interval if completed else interval - 1
     save_checkpoint(
         native_checkpoint_path(checkpoint_dir, interval),
         task.state,
-        metadata={"interval": interval, "step": int(task.state.step)},
+        metadata={"interval": last_complete, "step": int(task.state.step)},
     )
 
 
@@ -120,10 +127,9 @@ def train(cfg: TrainCfg, task, loaders: Dict[str, object]):
             else:
                 train_one_interval(task, train_loader)
         except StopTraining:
-            # mid-interval preemption: save as interval i-1-and-partial under
-            # the PREVIOUS interval index is wrong; save under i so
-            # resume-latest restarts this interval from its beginning
-            _save_interval_checkpoints(cfg, task, max(i - 1, 0))
+            # mid-interval preemption: snapshot under interval i with
+            # metadata pointing at i-1 so resume replays interval i fully
+            _save_interval_checkpoints(cfg, task, i, completed=False)
             _logger.warning("preempted during interval %d; state saved", i)
             break
 
@@ -175,16 +181,17 @@ def main(argv=None):
     train_cfg: TrainCfg = args.train
     data_cfg: DataCfg = args.data
 
+    # MeshEnv.initialize must be the FIRST backend-touching jax call
+    # (multi-host rendezvous); platform checks come after
+    device_env = MeshEnv.initialize(
+        data=args.task.mesh.data, fsdp=args.task.mesh.fsdp, model=args.task.mesh.model
+    )
     import jax
 
     if jax.devices()[0].platform != "cpu":
         # threefry dropout-mask generation costs ~10% of a cruller_base train
         # step on v5e (measured); rbg cuts it to ~2% with no training impact
         jax.config.update("jax_default_prng_impl", "rbg")
-
-    device_env = MeshEnv.initialize(
-        data=args.task.mesh.data, fsdp=args.task.mesh.fsdp, model=args.task.mesh.model
-    )
     task, task_cfg = TaskFactory.create_task(
         task_name=train_cfg.task_name,
         task_args=args.task,

@@ -39,22 +39,42 @@ class CustomVQADataset:
         with open(anno_path) as fh:
             raw = json.load(fh)["data"]
 
+        # item shapes mirror the reference exactly
+        # (``data/datasets_utils.py:55-79``): train labels are tag-formatted
+        # Q&A strings (ready for the finetune collate), val labels a
+        # {question, answers} dict (eval collate), test a question prompt
         if split == "train":
-            # group all question/answer pairs per image
             by_image = {}
             for entry in raw:
                 img = entry["image"]
-                qa = {"question": entry["question"], "answers": entry.get("answers", [])}
+                qa = (
+                    "<s_question>" + entry["question"] + "</s_question>"
+                    + "<s_answer>"
+                    + (entry.get("answers") or [""])[0]
+                    + "</s_answer>"
+                )
                 by_image.setdefault(img, []).append(qa)
             self.entries = [
-                {"image": img, "labels": qas} for img, qas in by_image.items()
+                {"image": img, "labels": qas, "question_id": -1}
+                for img, qas in by_image.items()
             ]
-        else:
+        elif split == "val":
             self.entries = [
                 {
                     "image": entry["image"],
-                    "question": entry["question"],
-                    "answers": entry.get("answers", []),
+                    "labels": {
+                        "question": entry["question"],
+                        "answers": entry.get("answers", []),
+                    },
+                    "question_id": entry.get("questionId", entry.get("question_id")),
+                }
+                for entry in raw
+            ]
+        else:  # test: questions only
+            self.entries = [
+                {
+                    "image": entry["image"],
+                    "labels": "<s_question>" + entry["question"] + "</s_question>",
                     "question_id": entry.get("questionId", entry.get("question_id")),
                 }
                 for entry in raw

@@ -288,7 +288,25 @@ class ImagePipeline:
         self.crop_margin = crop_margin
         self.align_long_axis = align_long_axis
         self.fill = fill
-        self.rng = np.random.RandomState(seed)
+        self._seed = seed
+        import threading
+
+        self._tl = threading.local()
+
+    @property
+    def rng(self) -> np.random.RandomState:
+        # per-thread RNG: loader workers are threads and RandomState is not
+        # thread-safe (shared state would also make augs order-dependent)
+        rng = getattr(self._tl, "rng", None)
+        if rng is None:
+            import threading
+
+            salt = threading.get_ident() & 0xFFFF
+            rng = np.random.RandomState(
+                None if self._seed is None else self._seed + salt
+            )
+            self._tl.rng = rng
+        return rng
 
     def __call__(self, img: Union[Image.Image, np.ndarray]) -> np.ndarray:
         x = _to_numpy(img)

@@ -341,7 +341,9 @@ class WdsLoader:
         else:
             shards_it = iter(my_shards)
 
-        n_workers = max(1, self.num_workers)
+        # eval passes must be deterministic: multi-worker interleave is
+        # scheduling-dependent, so eval streams use one worker
+        n_workers = max(1, self.num_workers) if self.is_train else 1
         out_q: "queue.Queue" = queue.Queue(maxsize=n_workers * 64)
         shard_lock = threading.Lock()
         stop = threading.Event()

@@ -109,7 +109,13 @@ def cruller_layer_depth(
         for n in names:
             if n.startswith("blocks_"):
                 return int(n.split("_")[1]) + 1
-        if any(n in ("patch_embed", "cls_token", "pos_embed", "norm_pre") for n in names):
+            if n.startswith("layers_") and "_blocks_" in n:
+                # Swin: layers_{stage}_blocks_{b} -> a coarse per-stage depth
+                # spread over the encoder range (timm's coarse group_matcher
+                # semantics; fine-grained per-block ids need stage depths)
+                stage = int(n.split("_")[1])
+                return min(1 + stage * max(1, encoder_depth // 4), encoder_depth)
+        if any(n in ("patch_embed", "patch_norm", "cls_token", "pos_embed", "norm_pre") for n in names):
             return 0
         # final encoder norm sits atop the last block
         return encoder_depth + 1

@@ -299,6 +299,7 @@ class BartCausalDecoder(nn.Module):
         mode: str = "train",
         deterministic: bool = True,
         return_hidden: bool = False,  # pre-head hidden for chunked CE
+        positions: Optional[jax.Array] = None,  # (B, L) explicit positions
     ) -> jax.Array:
         c = self.cfg
         B, L = input_ids.shape
@@ -332,7 +333,8 @@ class BartCausalDecoder(nn.Module):
             pos_var.value = start + L
         else:
             start = jnp.zeros((), jnp.int32)
-        positions = start + jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        if positions is None:
+            positions = start + jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
 
         x = embed_tokens(input_ids)
         if c.scale_embedding:

@@ -108,6 +108,7 @@ class Cruller(nn.Module):
         key_pad_mask: Optional[jax.Array] = None,
         attention_mask: Optional[jax.Array] = None,
         mode: str = "decode",
+        positions: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Cached decode step / prefill (see BartCausalDecoder modes); with
         ``mode='train'`` this is a cache-free teacher-forced decoder pass."""
@@ -118,4 +119,5 @@ class Cruller(nn.Module):
             key_pad_mask=key_pad_mask,
             mode=mode,
             deterministic=True,
+            positions=positions,
         )

@@ -56,7 +56,7 @@ def _fwd_kernel(
     lse_ref,  # (1, block_q, LANES) lane-broadcast (TPU tile constraints)
     m_scratch, l_scratch,  # (block_q, LANES) f32
     acc_scratch,  # (block_q, Dp) f32
-    *, scale, causal, block_q, block_k, kv_len,
+    *, scale, causal, block_q, block_k, kv_len, q_len,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -78,8 +78,10 @@ def _fwd_kernel(
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     mask = col < kv_len
     if causal:
+        # bottom-right alignment for Lq != Lk (matches the XLA path: query i
+        # sits at absolute key position i + kv_len - q_len)
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = mask & (col <= row)
+        mask = mask & (col <= row + (kv_len - q_len))
     s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_scratch[:, :1]
@@ -111,7 +113,7 @@ def _fwd_kernel(
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, out_dtype):
+def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, q_len, out_dtype):
     """(BH, Lq_p, Dp) inputs -> (o, lse)."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -120,7 +122,7 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, out_dtype)
     grid = (BH, Lq_p // block_q, Lk_p // block_k)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, kv_len=kv_len,
+        block_q=block_q, block_k=block_k, kv_len=kv_len, q_len=q_len,
     )
     return pl.pallas_call(
         kernel,
@@ -155,7 +157,7 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dq_ref,
     dq_scratch,  # (block_q, Dp) f32
-    *, scale, causal, block_q, block_k, kv_len,
+    *, scale, causal, block_q, block_k, kv_len, q_len,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -175,7 +177,7 @@ def _bwd_dq_kernel(
     mask = col < kv_len
     if causal:
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = mask & (col <= row)
+        mask = mask & (col <= row + (kv_len - q_len))
     s = jnp.where(mask, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0][:, :1])  # (block_q, block_k)
 
@@ -202,7 +204,7 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,  # (block_k, Dp) f32
-    *, scale, causal, block_q, block_k, kv_len,
+    *, scale, causal, block_q, block_k, kv_len, q_len,
 ):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -223,7 +225,7 @@ def _bwd_dkv_kernel(
     mask = col < kv_len
     if causal:
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = mask & (col <= row)
+        mask = mask & (col <= row + (kv_len - q_len))
     s = jnp.where(mask, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0][:, :1])  # (block_q, block_k)
 
@@ -251,7 +253,7 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
 
 
-def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_len):
+def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_len, q_len):
     from jax.experimental.pallas import tpu as pltpu
 
     BH, Lq_p, Dp = qb.shape
@@ -261,7 +263,7 @@ def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_le
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, kv_len=kv_len,
+            block_q=block_q, block_k=block_k, kv_len=kv_len, q_len=q_len,
         ),
         out_shape=jax.ShapeDtypeStruct((BH, Lq_p, Dp), qb.dtype),
         grid=grid_q,
@@ -282,7 +284,7 @@ def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_le
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, kv_len=kv_len,
+            block_q=block_q, block_k=block_k, kv_len=kv_len, q_len=q_len,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BH, Lk_p, Dp), kb.dtype),
@@ -314,28 +316,29 @@ def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_le
 # public entry (custom VJP over flat (BH, L, Dp) layout)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_flat(qb, kb, vb, scale, causal, block_q, block_k, kv_len):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_flat(qb, kb, vb, scale, causal, block_q, block_k, kv_len, q_len):
     o, _ = _fwd_flat(
-        qb, kb, vb, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, kv_len=kv_len, out_dtype=qb.dtype,
+        qb, kb, vb, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, kv_len=kv_len, q_len=q_len, out_dtype=qb.dtype,
     )
     return o
 
 
-def _flash_flat_fwd(qb, kb, vb, scale, causal, block_q, block_k, kv_len):
+def _flash_flat_fwd(qb, kb, vb, scale, causal, block_q, block_k, kv_len, q_len):
     o, lse = _fwd_flat(
-        qb, kb, vb, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, kv_len=kv_len, out_dtype=qb.dtype,
+        qb, kb, vb, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, kv_len=kv_len, q_len=q_len, out_dtype=qb.dtype,
     )
     return o, (qb, kb, vb, o, lse)
 
 
-def _flash_flat_bwd(scale, causal, block_q, block_k, kv_len, res, do):
+def _flash_flat_bwd(scale, causal, block_q, block_k, kv_len, q_len, res, do):
     qb, kb, vb, o, lse = res
     dq, dk, dv = _bwd_flat(
         qb, kb, vb, o, do, lse,
-        scale=scale, causal=causal, block_q=block_q, block_k=block_k, kv_len=kv_len,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        kv_len=kv_len, q_len=q_len,
     )
     return dq, dk, dv
 
@@ -367,6 +370,6 @@ def flash_attention(
         return x.transpose(0, 2, 1, 3).reshape(B * H, L_p, Dp)
 
     qb, kb, vb = to_bh(q, Lq_p), to_bh(k, Lk_p), to_bh(v, Lk_p)
-    out = _flash_flat(qb, kb, vb, scale, causal, block_q, block_k, Lk)
+    out = _flash_flat(qb, kb, vb, scale, causal, block_q, block_k, Lk, Lq)
     out = out.reshape(B, H, Lq_p, Dp).transpose(0, 2, 1, 3)
     return out[:, :Lq, :, :D]

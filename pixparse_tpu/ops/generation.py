@@ -65,14 +65,31 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    # Right-padded variable-length prompts are LEFT-aligned internally so
+    # every row's last real token sits at column Lp-1: generated tokens then
+    # write contiguously at Lp+step for all rows (no pad gap between prompt
+    # and answer) and cache slots line up with buffer columns. Positions are
+    # passed explicitly so left-pads don't shift real-token positions.
+    prompt_ids = prompt_ids.astype(jnp.int32)
+    prompt_valid = (prompt_ids != pad_token_id).sum(axis=1)  # (B,)
+    pad_counts = Lp - prompt_valid
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
+    src_idx = col - pad_counts[:, None]
+    aligned_prompt = jnp.where(
+        src_idx >= 0,
+        jnp.take_along_axis(prompt_ids, jnp.clip(src_idx, 0, Lp - 1), axis=1),
+        pad_token_id,
+    )
+    prompt_positions = jnp.maximum(src_idx, 0)
+
     buffer = jnp.full((B, max_length), pad_token_id, jnp.int32)
-    buffer = jax.lax.dynamic_update_slice(buffer, prompt_ids.astype(jnp.int32), (0, 0))
+    buffer = jax.lax.dynamic_update_slice(buffer, aligned_prompt, (0, 0))
 
     # cache skeleton (zeros) via shape-only trace
     cache_shapes = jax.eval_shape(
         lambda: decode_model.init(
             jax.random.PRNGKey(0),
-            prompt_ids,
+            aligned_prompt,
             encoder_output,
             mode="prefill",
             method="decode",
@@ -85,21 +102,18 @@ def generate(
     key_mask = buffer != pad_token_id
     prefill_logits, mutated = decode_model.apply(
         {"params": params, "cache": cache0},
-        prompt_ids,
+        aligned_prompt,
         encoder_output,
         key_pad_mask=key_mask,
         mode="prefill",
         method="decode",
         mutable=["cache"],
+        positions=prompt_positions,
     )
     cache = mutated["cache"]
 
-    # prompt may be right-padded: last real position per row
-    prompt_valid = (prompt_ids != pad_token_id).sum(axis=1)  # (B,)
-    last_idx = jnp.maximum(prompt_valid - 1, 0)
-    carry_logits = jnp.take_along_axis(
-        prefill_logits, last_idx[:, None, None], axis=1
-    )[:, 0, :]
+    # left-aligned: every row's last real prompt token is at column Lp-1
+    carry_logits = prefill_logits[:, -1, :]
 
     class State(NamedTuple):
         buffer: jax.Array
@@ -121,6 +135,7 @@ def generate(
             s.buffer, write_tok[:, None], (0, s.cur)
         )
         key_mask = buf != pad_token_id
+        step_positions = (prompt_valid + (s.cur - Lp))[:, None]
         step_logits, mutated = decode_model.apply(
             {"params": params, "cache": s.cache},
             write_tok[:, None],
@@ -129,6 +144,7 @@ def generate(
             mode="decode",
             method="decode",
             mutable=["cache"],
+            positions=step_positions,
         )
         return State(
             buffer=buf,
@@ -240,9 +256,20 @@ def generate_beam(
     assert Lp < max_length, "prompt longer than max_length"
     decode_model = model.clone(max_cache_len=max_length)
 
-    # expand to (B*K, ...) flat beams
+    # expand to (B*K, ...) flat beams; left-align variable-length prompts
+    # (same layout contract as generate())
     enc = jnp.repeat(encoder_output, K, axis=0)
     prompts = jnp.repeat(prompt_ids.astype(jnp.int32), K, axis=0)
+    prompt_valid = (prompts != pad_token_id).sum(axis=1)  # (B*K,)
+    pad_counts = Lp - prompt_valid
+    col = jax.lax.broadcasted_iota(jnp.int32, (B * K, Lp), 1)
+    src_idx = col - pad_counts[:, None]
+    prompts = jnp.where(
+        src_idx >= 0,
+        jnp.take_along_axis(prompts, jnp.clip(src_idx, 0, Lp - 1), axis=1),
+        pad_token_id,
+    )
+    prompt_positions = jnp.maximum(src_idx, 0)
 
     buffer = jnp.full((B * K, max_length), pad_token_id, jnp.int32)
     buffer = jax.lax.dynamic_update_slice(buffer, prompts, (0, 0))
@@ -264,15 +291,12 @@ def generate_beam(
         mode="prefill",
         method="decode",
         mutable=["cache"],
+        positions=prompt_positions,
     )
     cache = mutated["cache"]
     V = prefill_logits.shape[-1]
 
-    prompt_valid = (prompts != pad_token_id).sum(axis=1)
-    last_idx = jnp.maximum(prompt_valid - 1, 0)
-    carry_logits = jnp.take_along_axis(
-        prefill_logits, last_idx[:, None, None], axis=1
-    )[:, 0, :]  # (B*K, V)
+    carry_logits = prefill_logits[:, -1, :]  # left-aligned: last col is real
 
     # only beam 0 of each sample is "live" at start (identical prompts would
     # otherwise produce K duplicate beams)
@@ -314,6 +338,7 @@ def generate_beam(
         cache = _gather_beam_cache(s.cache, flat_src)
         finished = s.finished[flat_src]
         lengths = s.lengths[flat_src]
+        valid = prompt_valid[flat_src]
 
         tok_flat = token.reshape(-1)
         write_tok = jnp.where(finished, pad_token_id, tok_flat)
@@ -324,6 +349,7 @@ def generate_beam(
         lengths = jnp.where(finished, lengths, lengths + 1)
 
         key_mask = buffer != pad_token_id
+        step_positions = (valid + (s.cur - Lp))[:, None]
         step_logits, mutated = decode_model.apply(
             {"params": params, "cache": cache},
             write_tok[:, None],
@@ -332,6 +358,7 @@ def generate_beam(
             mode="decode",
             method="decode",
             mutable=["cache"],
+            positions=step_positions,
         )
         return BeamState(
             buffer=buffer,

@@ -48,9 +48,14 @@ def resize_pad_normalize(
 
     x = images.astype(jnp.float32)
     x = jax.image.resize(x, (B, nh, nw, C), method="bilinear")
+    # centered placement, matching the host eval pipeline's
+    # center_crop_or_pad (a corner-placed image would be spatially shifted
+    # relative to what the model saw in training/eval)
+    top = (th - nh) // 2
+    left = (tw - nw) // 2
     x = jnp.pad(
         x,
-        ((0, 0), (0, th - nh), (0, tw - nw), (0, 0)),
+        ((0, 0), (top, th - nh - top), (left, tw - nw - left), (0, 0)),
         constant_values=float(fill),
     )
     x = x / 255.0

@@ -150,11 +150,22 @@ class MeshEnv:
         model: int = 1,
         devices: Optional[Sequence] = None,
     ) -> "MeshEnv":
-        if is_distributed_env() and jax.process_count() == 1:
+        # NOTE: must run before ANY backend-initializing jax call
+        # (jax.devices()/process_count() would bind a single-process backend
+        # and make distributed init fail) — callers must not touch devices
+        # before MeshEnv.initialize()
+        if is_distributed_env():
             try:
                 jax.distributed.initialize()
-            except Exception as e:  # already initialized / single proc
-                _logger.debug("jax.distributed.initialize skipped: %s", e)
+            except Exception as e:
+                msg = str(e).lower()
+                if "already" in msg or "initialized" in msg:
+                    _logger.info("jax.distributed already initialized: %s", e)
+                else:
+                    _logger.warning(
+                        "jax.distributed.initialize failed — continuing "
+                        "single-process (multi-host mesh will NOT form): %s", e,
+                    )
         mesh = create_mesh(data=data, fsdp=fsdp, model=model, devices=devices)
         return cls(
             mesh=mesh,

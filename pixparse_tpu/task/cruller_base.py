@@ -174,6 +174,7 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         self._time_last = None
         self._samples_since_log = 0
         self._last_loss_dev = None  # device scalar; materialized lazily
+        self._flops_per_sample_step = None  # filled on first logged batch
 
     # ------------------------------------------------------------------
     def prepare_image(self, img) -> np.ndarray:
@@ -354,7 +355,7 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
                 else None
             )
             extra = {}
-            if rate:
+            if rate and "text" in batch:
                 from pixparse_tpu.framework.profiling import cruller_train_flops, mfu
 
                 if self._flops_per_sample_step is None:
@@ -563,7 +564,11 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
 
     def generate_text(self, images, prompt_ids, max_length=None) -> List[str]:
         tokens = self.generate_ids(images, prompt_ids, max_length)
-        return self.tokenizer.batch_decode(tokens, skip_special_tokens=False)
+        texts = self.tokenizer.batch_decode(tokens, skip_special_tokens=False)
+        pad = self.tokenizer.pad_token
+        # padding (incl. the left-alignment pads of variable-length prompts)
+        # never carries content; the reference's per-sample decode has none
+        return [t.replace(pad, "") for t in texts]
 
     def prompt_ids(self, prompt: str, batch_size: int) -> np.ndarray:
         ids = self.tokenizer(prompt, add_special_tokens=False, return_tensors="np").input_ids

@@ -52,8 +52,16 @@ class TaskDonutEvalOCR(TaskEval):
         self.model = VisionEncoderDecoderModel.from_pretrained(cfg.model_name)
         self.model.eval()
         self.task_prompt = "<s_cord-v2>"
-        self.anno_preprocess_eval = None
+        # the eval pipe calls anno_preprocess(anno); the baseline needs the
+        # RAW page text as reference (no tokenization)
+        self.anno_preprocess_eval = self._raw_text_anno
         self.image_preprocess_eval = lambda img: img  # processor handles it
+
+    @staticmethod
+    def _raw_text_anno(anno):
+        pages = anno.get("pages", []) if isinstance(anno, dict) else []
+        text = "\n".join(pages[0].get("text", [])) if pages else str(anno)
+        return {"text": [text], "target": [text]}
 
     def collate_fn(self, batch):
         return batch
@@ -69,8 +77,14 @@ class TaskDonutEvalOCR(TaskEval):
 
         import torch
 
-        if isinstance(sample, (tuple, list)):
+        if isinstance(sample, (tuple, list)) and len(sample) >= 2 and not isinstance(
+            sample[0], dict
+        ):
             images, texts = sample[0], sample[1]
+        elif isinstance(sample, (tuple, list)):
+            # list of per-sample dicts (hf-dataset path collate passthrough)
+            images = [s["image"] for s in sample]
+            texts = [s.get("text", "") for s in sample]
         else:
             images, texts = sample["image"], sample["text"]
         predictions, references = [], []

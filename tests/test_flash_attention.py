@@ -77,3 +77,11 @@ def test_flash_gradients_cross_attention_unaligned():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
+
+def test_flash_causal_bottom_right_alignment():
+    """causal with Lq < Lk (cached-decode shape): flash == XLA bottom-right."""
+    q, k, v = _rand_qkv(1, 32, 96, 2, 64, seed=6)
+    ref = dot_product_attention(q, k, v, causal=True, impl="xla")
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)

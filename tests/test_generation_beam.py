@@ -101,3 +101,38 @@ def test_pix2struct_patchify_host_and_device():
     dev = patchify_variable_batch(jnp.asarray(batch), 16, 64)
     assert dev["patches"].shape == (2, 64, 256)
     assert int(dev["mask"][0].sum()) <= 64
+
+
+def test_generate_variable_length_prompts_match_per_sample():
+    """Batched decode with right-padded variable-length prompts must produce
+    the same continuation each row would get decoded alone (the reference
+    decodes per-sample; a pad gap between prompt and answer is a bug)."""
+    model, params, enc, _, cfg = _model_and_inputs(B=2)
+    pad = cfg.pad_token_id
+    p_short = np.array([5], np.int32)
+    p_long = np.array([5, 9, 11], np.int32)
+    batch_prompts = np.full((2, 3), pad, np.int32)
+    batch_prompts[0, : len(p_short)] = p_short
+    batch_prompts[1, : len(p_long)] = p_long
+
+    out = generate(
+        model, params, enc, jnp.asarray(batch_prompts),
+        max_length=12, eos_token_id=cfg.eos_token_id, pad_token_id=pad,
+    )
+    rows = np.asarray(out.tokens)
+
+    def solo(row_idx, prompt):
+        r = generate(
+            model, params, enc[row_idx:row_idx + 1], jnp.asarray(prompt[None]),
+            max_length=12 - (3 - len(prompt)),
+            eos_token_id=cfg.eos_token_id, pad_token_id=pad,
+        )
+        return np.asarray(r.tokens)[0]
+
+    for i, prompt in enumerate((p_short, p_long)):
+        batch_seq = rows[i][rows[i] != pad]
+        solo_seq = solo(i, prompt)
+        solo_seq = solo_seq[solo_seq != pad]
+        n = min(len(batch_seq), len(solo_seq))
+        assert n > len(prompt), "no tokens generated"
+        np.testing.assert_array_equal(batch_seq[:n], solo_seq[:n])
