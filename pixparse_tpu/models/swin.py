@@ -257,7 +257,9 @@ class PatchMerging(nn.Module):
         )(x)
         return nn.Dense(
             2 * self.dim, use_bias=False, dtype=self.dtype,
-            kernel_init=_init(("embed", "embed")),
+            # in/out are both model-width dims; only one may map to a mesh
+            # axis (duplicate-axis specs are invalid), keep output replicated
+            kernel_init=_init(("embed", None)),
             name="reduction",
         )(x)
 

@@ -302,3 +302,15 @@ def test_wds_interval_determinism(shard_dir, tok):
     c = texts_for_interval(4)
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_get_additional_tokens_from_dataset():
+    from pixparse_tpu.data.datasets_utils import get_additional_tokens_from_dataset
+
+    samples = [
+        {"ground_truth": str({"gt_parse": {"menu": {"nm": "a", "cnt": "1"}}})},
+        {"ground_truth": str({"gt_parse": {"total": {"total_price": "5"}}})},
+    ]
+    tokens = get_additional_tokens_from_dataset([], dataset=samples)
+    assert "<s_menu>" in tokens and "</s_menu>" in tokens
+    assert "<s_total_price>" in tokens

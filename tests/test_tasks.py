@@ -274,3 +274,29 @@ def test_eval_docvqa_step_and_anls():
     assert "ANLS" in avg and 0.0 <= avg["ANLS"] <= 1.0
     # accumulators reset after averaging
     assert task.all_predictions == []
+
+
+def test_pretrain_task_with_swin_encoder():
+    """Swin-encoder Cruller trains through the same task machinery (incl.
+    layer-decay over layers_{s}_blocks_{b} names)."""
+    from pixparse_tpu.task import TaskCrullerPretrain, TaskCrullerPretrainCfg
+
+    env = _env()
+    cfg = TaskCrullerPretrainCfg(
+        model_name="cruller_swin_test",
+        tokenizer=LOCAL_TOK,
+        opt=OptimizationCfg(learning_rate=1e-3, layer_decay=0.75),
+    )
+    task = TaskCrullerPretrain(cfg, env, None)
+    task.train_setup(num_batches_per_interval=2)
+    rng = np.random.RandomState(0)
+    L = task.max_position_embeddings
+    batch = {
+        "image": rng.rand(8, 64, 64, 1).astype(np.float32),
+        "text": rng.randint(4, 200, (8, L)).astype(np.int64),
+        "target": rng.randint(4, 200, (8, L)).astype(np.int64),
+    }
+    losses = [float(task.train_step(batch)["loss"]) for _ in range(2)]
+    assert np.isfinite(losses).all()
+    sd = task.state_dict()
+    assert "image_encoder.trunk.layers.0.blocks.0.attn.qkv.weight" in sd
