@@ -95,21 +95,32 @@ class HfDatasetLoader:
         n = len(self.dataset)
         backfill_rng = random.Random(self.seed * 7919 + self.interval)
 
+        def fetch_one(i):
+            item = self.dataset[i]
+            retries = 0
+            while item is None and self.is_train and retries < 50:
+                item = self.dataset[backfill_rng.randrange(n)]
+                retries += 1
+            if item is None and self.is_train:
+                # a ragged train batch would break static batch sharding;
+                # 50 failed draws means the dataset is essentially unreadable
+                raise RuntimeError(
+                    "could not backfill a corrupt sample after 50 draws — "
+                    "dataset appears mostly unreadable"
+                )
+            return item
+
+        # PIL/cv2/tokenizers release the GIL: fetch a batch's items in a
+        # small pool (the reference gets this from DataLoader workers)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
         def fetch(idx_list):
             """Fetch items, replacing corrupt (None) samples so train batches
-            stay full — ragged batches would break the static batch sharding
-            (deviation from the reference's filter-only SafeDataset handling,
-            which torch collate tolerated)."""
-            items = []
-            for i in idx_list:
-                item = self.dataset[i]
-                retries = 0
-                while item is None and self.is_train and retries < 10:
-                    item = self.dataset[backfill_rng.randrange(n)]
-                    retries += 1
-                if item is not None:
-                    items.append(item)
-            return items
+            stay full (deviation from the reference's filter-only SafeDataset
+            handling, which torch collate tolerated)."""
+            return [x for x in pool.map(fetch_one, idx_list) if x is not None]
 
         def producer():
             try:
@@ -120,6 +131,8 @@ class HfDatasetLoader:
                     if not items:
                         continue
                     q.put(self.collate_fn(items))
+            except Exception as e:  # surface in the consumer, don't end silently
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -130,9 +143,12 @@ class HfDatasetLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, Exception):
+                    raise item
                 yield item
         finally:
             stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
             while t.is_alive():
                 try:
                     q.get_nowait()

@@ -225,6 +225,21 @@ def create_doc_anno_pipe(
     return decode
 
 
+def create_image_text_pipe(
+    image_preprocess: Callable,
+    anno_preprocess: Callable,
+    image_key: str = DEFAULT_IMAGE_KEY,
+    image_fmt: str = "L",
+):
+    """Eval decoder (parity: chug ``create_image_text_pipe``, used by
+    ``app/eval.py:153-164``). Same (image, text, target) tuple layout as the
+    train pipe; eval annotation preprocessors control what 'text' holds (token
+    ids for cruller evals, raw reference strings for the donut baseline)."""
+    return create_doc_anno_pipe(
+        image_preprocess, anno_preprocess, image_key=image_key, image_fmt=image_fmt
+    )
+
+
 def _decode_target_size(image_preprocess):
     """Decode-time DCT-scale target: the pipeline's canvas size, except for
     crop-margin pipelines (margin detection wants full resolution)."""
@@ -236,43 +251,6 @@ def _decode_target_size(image_preprocess):
     return tuple(size) if size else None
 
 
-def create_image_text_pipe(
-    image_preprocess: Callable,
-    anno_preprocess: Callable,
-    image_key: str = DEFAULT_IMAGE_KEY,
-    image_fmt: str = "L",
-):
-    """Eval decoder (parity: chug ``create_image_text_pipe``, used by
-    ``app/eval.py:153-164``): like the doc pipe but keeps the raw text too."""
-    image_exts = [e.strip() for e in image_key.split(";") if e.strip()]
-    target_size = _decode_target_size(image_preprocess)
-
-    def decode(sample: Dict[str, Any]):
-        ext = next((e for e in image_exts if e in sample), None)
-        if ext is None or "json" not in sample:
-            return None
-        try:
-            anno = json.loads(sample["json"])
-            out = anno_preprocess(anno)
-            if isinstance(out, tuple):
-                token_dict, info = out
-                page_index = int(info["page_indices"][0])
-            else:
-                token_dict, info, page_index = out, {}, 0
-            img = decode_image_bytes(
-                sample[ext], ext, image_fmt, page_index, target_size=target_size
-            )
-            image = image_preprocess(img)
-            return (
-                np.asarray(image),
-                np.asarray(token_dict["text"][0]),
-                np.asarray(token_dict["target"][0]),
-            )
-        except Exception as e:
-            _logger.debug("skipping sample %s: %s", sample.get("__key__"), e)
-            return None
-
-    return decode
 
 
 def default_collate(samples: List):

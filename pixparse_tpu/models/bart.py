@@ -195,10 +195,8 @@ class CachedCrossAttention(nn.Module):
                 cached_v.value = _dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)(
                     encoder_hidden_states
                 ).reshape(B, Lk, H, Dh)
-            else:
-                # keep params in scope for decode-mode tracing
-                _dense(c.d_model, ("embed", "heads"), "k_proj", self.dtype)
-                _dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)
+            # decode mode reads the prefill-cached K/V (flax tolerates the
+            # unused k/v_proj params in the supplied tree)
             k, v = cached_k.value, cached_v.value
 
         out = dot_product_attention(

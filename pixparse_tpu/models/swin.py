@@ -183,9 +183,8 @@ class SwinBlock(nn.Module):
         c = self.cfg
         B, H, W, C = x.shape
         window = min(c.window_size, H, W)
-        shift = self.shift if window < min(H, W) or (H % c.window_size == 0 and W % c.window_size == 0) else 0
-        if window >= min(H, W):
-            shift = 0  # timm: no shifting when one window covers the map
+        # timm: no shifting when one window covers the feature map
+        shift = self.shift if window < min(H, W) else 0
         ln = lambda name: nn.LayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name=name,
             scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),

@@ -29,6 +29,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _left_align_prompts(prompt_ids, pad_token_id):
+    """Right-padded variable-length prompts -> (aligned_prompt, positions,
+    prompt_valid): every row's last real token lands in the final column, so
+    generated tokens write contiguously and cache slots line up with buffer
+    columns; explicit positions keep real-token positions pad-independent."""
+    B, Lp = prompt_ids.shape
+    prompt_ids = prompt_ids.astype(jnp.int32)
+    prompt_valid = (prompt_ids != pad_token_id).sum(axis=1)  # (B,)
+    pad_counts = Lp - prompt_valid
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
+    src_idx = col - pad_counts[:, None]
+    aligned = jnp.where(
+        src_idx >= 0,
+        jnp.take_along_axis(prompt_ids, jnp.clip(src_idx, 0, Lp - 1), axis=1),
+        pad_token_id,
+    )
+    positions = jnp.maximum(src_idx, 0)
+    return aligned, positions, prompt_valid
+
+
 class GenerateResult(NamedTuple):
     tokens: jax.Array  # (B, max_length) int32, pad-filled after EOS
     lengths: jax.Array  # (B,) number of valid tokens (incl. prompt + eos)
@@ -65,22 +85,9 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    # Right-padded variable-length prompts are LEFT-aligned internally so
-    # every row's last real token sits at column Lp-1: generated tokens then
-    # write contiguously at Lp+step for all rows (no pad gap between prompt
-    # and answer) and cache slots line up with buffer columns. Positions are
-    # passed explicitly so left-pads don't shift real-token positions.
-    prompt_ids = prompt_ids.astype(jnp.int32)
-    prompt_valid = (prompt_ids != pad_token_id).sum(axis=1)  # (B,)
-    pad_counts = Lp - prompt_valid
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1)
-    src_idx = col - pad_counts[:, None]
-    aligned_prompt = jnp.where(
-        src_idx >= 0,
-        jnp.take_along_axis(prompt_ids, jnp.clip(src_idx, 0, Lp - 1), axis=1),
-        pad_token_id,
+    aligned_prompt, prompt_positions, prompt_valid = _left_align_prompts(
+        prompt_ids, pad_token_id
     )
-    prompt_positions = jnp.maximum(src_idx, 0)
 
     buffer = jnp.full((B, max_length), pad_token_id, jnp.int32)
     buffer = jax.lax.dynamic_update_slice(buffer, aligned_prompt, (0, 0))
@@ -252,24 +259,15 @@ def generate_beam(
     """
     B, Lp = prompt_ids.shape
     K = num_beams
-    V = None  # filled after prefill
     assert Lp < max_length, "prompt longer than max_length"
     decode_model = model.clone(max_cache_len=max_length)
 
     # expand to (B*K, ...) flat beams; left-align variable-length prompts
     # (same layout contract as generate())
     enc = jnp.repeat(encoder_output, K, axis=0)
-    prompts = jnp.repeat(prompt_ids.astype(jnp.int32), K, axis=0)
-    prompt_valid = (prompts != pad_token_id).sum(axis=1)  # (B*K,)
-    pad_counts = Lp - prompt_valid
-    col = jax.lax.broadcasted_iota(jnp.int32, (B * K, Lp), 1)
-    src_idx = col - pad_counts[:, None]
-    prompts = jnp.where(
-        src_idx >= 0,
-        jnp.take_along_axis(prompts, jnp.clip(src_idx, 0, Lp - 1), axis=1),
-        pad_token_id,
+    prompts, prompt_positions, prompt_valid = _left_align_prompts(
+        jnp.repeat(prompt_ids.astype(jnp.int32), K, axis=0), pad_token_id
     )
-    prompt_positions = jnp.maximum(src_idx, 0)
 
     buffer = jnp.full((B * K, max_length), pad_token_id, jnp.int32)
     buffer = jax.lax.dynamic_update_slice(buffer, prompts, (0, 0))

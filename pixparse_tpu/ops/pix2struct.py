@@ -56,6 +56,10 @@ def patchify_variable(
     """Host path: variable-size image -> fixed (max_patches, ...) tensors."""
     if image.ndim == 2:
         image = image[:, :, None]
+    if image.dtype.kind == "f":
+        # accept float images in [0, 1] or [0, 255]
+        scale = 255.0 if image.max() <= 1.0 + 1e-6 else 1.0
+        image = np.clip(image * scale, 0, 255).astype(np.uint8)
     h, w, c = image.shape
     rows, cols = variable_grid(h, w, patch_size, max_patches)
     th, tw = rows * patch_size, cols * patch_size

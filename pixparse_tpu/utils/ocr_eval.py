@@ -31,10 +31,16 @@ def restore_ignored(ids: np.ndarray, pad_token_id: int) -> np.ndarray:
     return out
 
 
-def max_target_length(ids: np.ndarray, pad_token_id: int, cap: int) -> int:
-    """Per-batch decode-length cap (``utils/ocr_utils.py:60-62``)."""
+def max_target_length(
+    ids: np.ndarray, pad_token_id: int, cap: int, bucket: int = 64
+) -> int:
+    """Per-batch decode-length cap (``utils/ocr_utils.py:60-62``), rounded UP
+    to a ``bucket`` multiple: the jitted decode specializes on max_length, so
+    raw per-batch values would recompile nearly every batch (the early-exit
+    loop makes the extra headroom free)."""
     lengths = (np.asarray(ids) != pad_token_id).sum(axis=1)
-    return int(min(cap, lengths.max())) if lengths.size else cap
+    n = int(min(cap, lengths.max())) if lengths.size else cap
+    return int(min(cap, ((n + bucket - 1) // bucket) * bucket))
 
 
 def ocr_metrics_from_text(
