@@ -110,3 +110,22 @@ def tokenize_batch(
         truncation=True,
     )
     return out.input_ids.astype(np.int32)
+
+
+def resolve_model_name(cfg) -> None:
+    """Shared ``__post_init__`` body for task cfg dataclasses: resolve
+    ``model_name`` through the JSON registry into ``cfg.model`` (parity with
+    the block every reference task cfg repeats, e.g.
+    ``task_cruller_pretrain.py:38-48``)."""
+    from pixparse_tpu.models.config import get_model_config
+
+    if cfg.model_name:
+        model = get_model_config(cfg.model_name)
+        if model is None:
+            _logger.warning(
+                f"Model config for {cfg.model_name} was not found, using defaults."
+            )
+        else:
+            cfg.model = model
+    else:
+        cfg.model_name = "custom"

@@ -25,6 +25,8 @@ from pixparse_tpu.task.common import (
 from pixparse_tpu.task.cruller_base import BaseCrullerEvalTask
 from pixparse_tpu.tokenizers import TokenizerCfg
 
+from pixparse_tpu.task.common import resolve_model_name
+
 _logger = logging.getLogger(__name__)
 
 
@@ -35,16 +37,7 @@ class TaskCrullerEvalRVLCDIPCfg(TaskEvalCfg):
     tokenizer: TokenizerCfg = field(default_factory=TokenizerCfg)
 
     def __post_init__(self):
-        if self.model_name:
-            model = get_model_config(self.model_name)
-            if model is None:
-                _logger.warning(
-                    f"Model config for {self.model_name} was not found, using defaults."
-                )
-            else:
-                self.model = model
-        else:
-            self.model_name = "custom"
+        resolve_model_name(self)
 
 
 class TaskCrullerEvalRVLCDIP(BaseCrullerEvalTask):

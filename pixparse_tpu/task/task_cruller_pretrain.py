@@ -16,9 +16,15 @@ from typing import Optional
 from pixparse_tpu.data.preprocess import preprocess_ocr_anno, preprocess_text_anno
 from pixparse_tpu.framework.config import TaskTrainCfg
 from pixparse_tpu.models.config import ModelCfg, get_model_config
-from pixparse_tpu.task.common import PRETRAIN_TASK_START, SEP_TOKEN
+from pixparse_tpu.task.common import (
+    PRETRAIN_TASK_START,
+    SEP_TOKEN,
+    SPECIAL_TOKENS_FROM_PRETRAIN,
+)
 from pixparse_tpu.task.cruller_base import BaseCrullerTrainTask
 from pixparse_tpu.tokenizers import TokenizerCfg
+
+from pixparse_tpu.task.common import resolve_model_name
 
 _logger = logging.getLogger(__name__)
 
@@ -30,22 +36,13 @@ class TaskCrullerPretrainCfg(TaskTrainCfg):
     tokenizer: TokenizerCfg = field(default_factory=TokenizerCfg)
 
     def __post_init__(self):
-        if self.model_name:
-            model = get_model_config(self.model_name)
-            if model is None:
-                _logger.warning(
-                    f"Model config for {self.model_name} was not found, using defaults."
-                )
-            else:
-                self.model = model
-        else:
-            self.model_name = "custom"
+        resolve_model_name(self)
 
 
 class TaskCrullerPretrain(BaseCrullerTrainTask):
     task_start_token = PRETRAIN_TASK_START
     prompt_end_token = PRETRAIN_TASK_START
-    base_special_tokens = [SEP_TOKEN, PRETRAIN_TASK_START, PRETRAIN_TASK_START]
+    base_special_tokens = SPECIAL_TOKENS_FROM_PRETRAIN
     finetune_special_tokens = None
     text_anno_fn = False  # OCR-anno pipeline (multi-page random sampling)
     shift_in_step = True
