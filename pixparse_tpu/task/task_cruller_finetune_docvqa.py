@@ -53,6 +53,8 @@ class TaskCrullerFinetuneDOCVQA(BaseCrullerTrainTask):
 
     def collate_fn(self, batch):
         images = [self.prepare_image(item["image"]) for item in batch]
+        # global np.random is reference parity (``:294``; seeded by
+        # random_seed(seed+rank) at app start, like the reference)
         q_and_as = [np.random.choice(item["labels"]) for item in batch]
         texts = [
             self.task_start_token + str(text) + self.tokenizer.eos_token
