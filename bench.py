@@ -76,7 +76,7 @@ def main():
         betas=(0.9, 0.98), weight_decay=0.02,
     )
     tx, _ = create_optimizer(
-        opt_cfg, None, 30, 3, 100,
+        opt_cfg, 30, 3, 100,
         encoder_depth=vit_cfg.depth, decoder_layers=bart_cfg.decoder_layers,
     )
     example = (

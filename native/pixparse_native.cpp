@@ -65,7 +65,13 @@ int jpeg_probe(const uint8_t* buf, int64_t len, int scale_denom, int want_gray,
   }
   cinfo.scale_num = 1;
   cinfo.scale_denom = scale_denom > 0 ? scale_denom : 1;
-  if (want_gray) cinfo.out_color_space = JCS_GRAYSCALE;
+  if (want_gray) {
+    cinfo.out_color_space = JCS_GRAYSCALE;
+  } else {
+    // force RGB: grayscale sources would return 1 channel and CMYK 4,
+    // mismatching the PNG/PIL paths (always 3 for RGB requests)
+    cinfo.out_color_space = JCS_RGB;
+  }
   jpeg_calc_output_dimensions(&cinfo);
   *out_h = static_cast<int>(cinfo.output_height);
   *out_w = static_cast<int>(cinfo.output_width);
@@ -93,7 +99,13 @@ int jpeg_decode(const uint8_t* buf, int64_t len, int scale_denom, int want_gray,
   }
   cinfo.scale_num = 1;
   cinfo.scale_denom = scale_denom > 0 ? scale_denom : 1;
-  if (want_gray) cinfo.out_color_space = JCS_GRAYSCALE;
+  if (want_gray) {
+    cinfo.out_color_space = JCS_GRAYSCALE;
+  } else {
+    // force RGB: grayscale sources would return 1 channel and CMYK 4,
+    // mismatching the PNG/PIL paths (always 3 for RGB requests)
+    cinfo.out_color_space = JCS_RGB;
+  }
   cinfo.dct_method = JDCT_ISLOW;
   jpeg_start_decompress(&cinfo);
   if (static_cast<int>(cinfo.output_height) != out_h ||

@@ -40,23 +40,41 @@ class EvalCfg:
     seed: int = 42
 
 
+def _merge_metric_trees(trees):
+    """Average numeric leaves across per-host metric trees (hosts evaluate
+    disjoint data shards)."""
+    if len(trees) == 1:
+        return trees[0]
+    first = trees[0]
+    if isinstance(first, dict):
+        return {
+            k: _merge_metric_trees([t[k] for t in trees if k in t]) for k in first
+        }
+    if isinstance(first, (int, float)):
+        vals = [t for t in trees if isinstance(t, (int, float))]
+        return sum(vals) / max(1, len(vals))
+    return first
+
+
 def eval(cfg: EvalCfg, task, eval_loaders: dict):
     metrics = evaluate(task, eval_loaders)
-    with open(cfg.metrics_file_path, "w") as f:
-        json.dump(metrics, f)
+    device_env = task.device_env
+    if device_env.process_count > 1:
+        # each host evaluated its data shard; aggregate before reporting
+        metrics = _merge_metric_trees(device_env.all_gather_object(metrics))
+    if device_env.is_primary():
+        with open(cfg.metrics_file_path, "w") as f:
+            json.dump(metrics, f)
     return metrics
 
 
 def main(argv=None):
     import sys
 
+    from pixparse_tpu.framework.cli import peek_flag
+
     argv = list(sys.argv[1:] if argv is None else argv)
-    task_name = None
-    for i, a in enumerate(argv):
-        if a in ("--eval.task_name", "--eval.task-name") and i + 1 < len(argv):
-            task_name = argv[i + 1]
-        elif a.startswith("--eval.task_name=") or a.startswith("--eval.task-name="):
-            task_name = a.split("=", 1)[1]
+    task_name = peek_flag(argv, "eval.task_name")
     if not task_name or task_name not in TASK_CLASS_REGISTRY:
         raise SystemExit(
             f"--eval.task_name must be one of {sorted(TASK_CLASS_REGISTRY)}"
@@ -128,18 +146,21 @@ def main(argv=None):
 
     assert data_cfg.eval is not None, "data_cfg.eval is not set."
     loaders = {}
-    loaders["eval"] = create_loader(
-        data_cfg.eval,
-        is_train=False,
-        collate_fn=task.collate_fn,
-        image_preprocess=getattr(task, "image_preprocess_eval", None),
-        anno_preprocess=getattr(task, "anno_preprocess_eval", None),
-        image_fmt=task_cfg.model.image_encoder.image_fmt,
-        seed=eval_cfg.seed,
-        world_size=device_env.world_size,
-        global_rank=device_env.global_rank,
-        create_decoder_pipe=create_image_text_pipe,
-    )
+    # one loader per requested dataset identifier (default ['eval']); tasks
+    # filter loaders by name in prepare_for_evaluation
+    for loader_name in (eval_cfg.datasets or ["eval"]):
+        loaders[loader_name] = create_loader(
+            data_cfg.eval,
+            is_train=False,
+            collate_fn=task.collate_fn,
+            image_preprocess=getattr(task, "image_preprocess_eval", None),
+            anno_preprocess=getattr(task, "anno_preprocess_eval", None),
+            image_fmt=task_cfg.model.image_encoder.image_fmt,
+            seed=eval_cfg.seed,
+            world_size=device_env.world_size,
+            global_rank=device_env.global_rank,
+            create_decoder_pipe=create_image_text_pipe,
+        )
 
     task.setup()
     if device_env.is_primary():

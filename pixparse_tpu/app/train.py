@@ -156,19 +156,13 @@ def main(argv=None):
 
     from pixparse_tpu.task.task_factory import TASK_CLASS_REGISTRY
 
-    pre = ConfigArgumentParser(description="pixparse_tpu train")
-    pre.add_arguments(TrainCfg, dest="train")
-    pre_args, task_name = None, None
     import sys
+
+    from pixparse_tpu.framework.cli import peek_flag
 
     argv = list(sys.argv[1:] if argv is None else argv)
     # peek at task_name to build the right --task.* flag set
-    for i, a in enumerate(argv):
-        if a in ("--train.task_name", "--train.task-name") and i + 1 < len(argv):
-            task_name = argv[i + 1]
-        elif a.startswith("--train.task_name=") or a.startswith("--train.task-name="):
-            task_name = a.split("=", 1)[1]
-    task_name = task_name or TrainCfg.task_name
+    task_name = peek_flag(argv, "train.task_name") or TrainCfg.task_name
     if task_name not in TASK_CLASS_REGISTRY:
         raise SystemExit(f"unknown task {task_name!r}")
     _, task_cfg_cls = TASK_CLASS_REGISTRY[task_name]
@@ -219,15 +213,20 @@ def main(argv=None):
 
     experiment_path = os.path.join(train_cfg.output_dir, train_cfg.experiment)
     log_path = None
+    should_abort = False
     if device_env.is_primary():
         os.makedirs(experiment_path, exist_ok=True)
         log_path = os.path.join(experiment_path, train_cfg.log_filename)
-        if os.path.exists(log_path) and not train_cfg.resume:
-            _logger.error(
-                "Error. Experiment already exists. Use --train.experiment to "
-                "specify a new experiment."
-            )
-            return -1
+        should_abort = os.path.exists(log_path) and not train_cfg.resume
+    # every host must take the same branch or the rest deadlock in collectives
+    if device_env.world_size > 1:
+        should_abort = device_env.broadcast_object(should_abort)
+    if should_abort:
+        _logger.error(
+            "Error. Experiment already exists. Use --train.experiment to "
+            "specify a new experiment."
+        )
+        return -1
 
     setup_logging(log_path)
     task.monitor = Monitor(
@@ -289,9 +288,9 @@ def main(argv=None):
         _logger.info(train_cfg)
 
     loaders = {}
-    assert (
-        data_cfg.train is not None or data_cfg.eval is not None
-    ), "Neither data_cfg.train nor data_cfg.eval are set."
+    # deviation from the reference (which asserts train-OR-eval then crashes
+    # on loaders['train'] anyway): the train app requires train data
+    assert data_cfg.train is not None, "the train app requires --data.train.*"
     if data_cfg.train is not None:
         loaders["train"] = create_loader(
             data_cfg.train,

@@ -60,29 +60,6 @@ def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None):
     _logger.info("saved checkpoint %s", path)
 
 
-def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
-    """Restore a checkpoint. With ``target`` (a matching pytree of arrays or
-    ShapeDtypeStruct+sharding), arrays land with the target's shardings;
-    without, host-local numpy comes back."""
-    import orbax.checkpoint as ocp
-
-    path = os.path.abspath(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        if target is not None:
-            restore_target = {"state": target}
-            try:
-                meta = ckptr.metadata(path)
-                if "metadata" in getattr(meta, "tree", meta.item_metadata or {}):
-                    restore_target = None  # fall through to full restore below
-            except Exception:
-                pass
-            if restore_target is not None:
-                restored = ckptr.restore(
-                    path, args=ocp.args.PyTreeRestore(item=restore_target)
-                )
-                return restored
-        return ckptr.restore(path)
-
 
 def restore_train_state(path: str, state_template: Any):
     """Restore onto an existing (sharded) state: the template supplies

@@ -181,6 +181,41 @@ def _instantiate(cls: Type, values: Dict, where: str, required_root: bool = True
     return cls(**kwargs)
 
 
+def peek_flag(argv, dotted: str):
+    """Pre-parse peek at one ``--scope.field`` flag (dash variants and
+    ``=``-joined forms), used by the apps to pick the task cfg class before
+    building the full parser."""
+    names = {f"--{dotted}", f"--{dotted.replace('_', '-')}"}
+    for i, a in enumerate(argv):
+        if a in names and i + 1 < len(argv):
+            return argv[i + 1]
+        for n in names:
+            if a.startswith(n + "="):
+                return a.split("=", 1)[1]
+    return None
+
+
+def _validate_tree(cls: Type, values: Dict, where: str):
+    """Reject config-file keys that match no dataclass field (silent typo'd
+    overrides are worse than errors)."""
+    hints = typing.get_type_hints(cls)
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, val in values.items():
+        if key not in fields:
+            raise SystemExit(
+                f"error: unknown config key '{where}.{key}' "
+                f"(known: {sorted(fields)})"
+            )
+        inner, _ = _strip_optional(hints[key])
+        if _is_dataclass_type(inner):
+            if val is not None and not isinstance(val, dict):
+                raise SystemExit(
+                    f"error: config key '{where}.{key}' must be a mapping"
+                )
+            if isinstance(val, dict):
+                _validate_tree(inner, val, f"{where}.{key}")
+
+
 class ConfigArgumentParser:
     """Parser over named dataclass scopes (train/task/data...)."""
 
@@ -225,6 +260,15 @@ class ConfigArgumentParser:
                 loaded = yaml.safe_load(fh) or {}
             if not isinstance(loaded, dict):
                 raise SystemExit(f"error: config file {ns.config_path} must be a mapping")
+            for scope, values in loaded.items():
+                if scope not in self._scopes:
+                    raise SystemExit(
+                        f"error: unknown config scope '{scope}' "
+                        f"(known: {sorted(self._scopes)})"
+                    )
+                if not isinstance(values, dict):
+                    raise SystemExit(f"error: config scope '{scope}' must be a mapping")
+                _validate_tree(self._scopes[scope], values, scope)
             tree.update(loaded)
 
         # Layer 2: CLI flags (win over file)

@@ -202,14 +202,15 @@ def default_weight_decay_mask(params: Any) -> Any:
 
 def create_optimizer(
     cfg: OptimizationCfg,
-    params: Any,
     num_intervals: int,
     num_warmup_intervals: int,
     updates_per_interval: int,
     encoder_depth: int = 0,
     decoder_layers: int = 0,
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
-    """OptimizationCfg + param tree -> (optax transformation, lr schedule).
+    """OptimizationCfg -> (optax transformation, lr schedule). Weight-decay
+    masks and layer-decay scales are computed lazily from parameter paths, so
+    no param tree is needed up front.
 
     The returned transformation already includes grad clipping, weight decay
     masking, layer-decay scaling, the LR schedule, and grad accumulation

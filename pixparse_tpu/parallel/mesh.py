@@ -162,10 +162,13 @@ class MeshEnv:
                 if "already" in msg or "initialized" in msg:
                     _logger.info("jax.distributed already initialized: %s", e)
                 else:
-                    _logger.warning(
-                        "jax.distributed.initialize failed — continuing "
-                        "single-process (multi-host mesh will NOT form): %s", e,
-                    )
+                    # continuing would make every host rank 0 of world 1:
+                    # duplicated data shards, clobbered outputs, silently
+                    # wrong training — fail fast instead
+                    raise RuntimeError(
+                        "multi-host environment detected but "
+                        "jax.distributed.initialize failed"
+                    ) from e
         mesh = create_mesh(data=data, fsdp=fsdp, model=model, devices=devices)
         return cls(
             mesh=mesh,

@@ -193,7 +193,6 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
 
         self.optimizer, self.scheduler = create_optimizer(
             cfg.opt,
-            None,
             num_intervals=cfg.num_intervals,
             num_warmup_intervals=cfg.num_warmup_intervals,
             updates_per_interval=max(1, self.num_steps_per_interval),

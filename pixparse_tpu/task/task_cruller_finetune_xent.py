@@ -81,7 +81,6 @@ class TaskCrullerFinetuneXent(BaseCrullerTrainTask):
         self.num_steps_per_interval = num_batches_per_interval // accum
         self.optimizer, self.scheduler = create_optimizer(
             cfg.opt,
-            None,
             num_intervals=cfg.num_intervals,
             num_warmup_intervals=cfg.num_warmup_intervals,
             updates_per_interval=max(1, self.num_steps_per_interval),

@@ -131,7 +131,7 @@ def test_sharded_train_step_loss_decreases():
     from pixparse_tpu.framework.optimization import create_optimizer
 
     tx, sched = create_optimizer(
-        opt_cfg, None, 10, 1, 10, encoder_depth=vit_cfg.depth,
+        opt_cfg, 10, 1, 10, encoder_depth=vit_cfg.depth,
         decoder_layers=bart_cfg.decoder_layers,
     )
     example = (
@@ -182,7 +182,7 @@ def test_grad_accum_multisteps():
     model, vit_cfg, bart_cfg, batch = _tiny_model_and_batch()
     mesh = create_mesh()
     opt_cfg = OptimizationCfg(learning_rate=1e-3, grad_accum_steps=2)
-    tx, _ = create_optimizer(opt_cfg, None, 10, 0, 10)
+    tx, _ = create_optimizer(opt_cfg, 10, 0, 10)
     example = (
         jnp.zeros((8, *vit_cfg.img_size, vit_cfg.in_chans)),
         jnp.zeros((8, 16), jnp.int32),

@@ -91,3 +91,11 @@ def test_wds_decode_uses_native_path():
     out = decode_image_bytes(buf.getvalue(), "png", image_fmt="L")
     assert isinstance(out, np.ndarray)
     np.testing.assert_array_equal(out[:, :, 0], arr)
+
+
+def test_jpeg_gray_source_rgb_request_gives_3_channels():
+    arr = _gray_image()
+    buf = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, format="JPEG", quality=95)
+    out = decode_image(buf.getvalue(), gray=False)
+    assert out.shape == (200, 160, 3)
