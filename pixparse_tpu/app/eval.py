@@ -17,7 +17,7 @@ from typing import List
 
 from pixparse_tpu.data import DataCfg, create_loader
 from pixparse_tpu.data.wds import create_image_text_pipe
-from pixparse_tpu.framework import Monitor, TaskEvalCfg, evaluate, random_seed, setup_logging
+from pixparse_tpu.framework import Monitor, evaluate, random_seed, setup_logging
 from pixparse_tpu.framework.cli import ConfigArgumentParser
 from pixparse_tpu.parallel.mesh import MeshEnv
 from pixparse_tpu.task import TaskFactory

@@ -152,7 +152,6 @@ def build_parser() -> ConfigArgumentParser:
 def main(argv=None):
     # the task cfg scope is parsed generically then re-scoped by the factory
     # into the task-specific cfg class (model_name/tokenizer resolution)
-    import dataclasses as _dc
 
     from pixparse_tpu.task.task_factory import TASK_CLASS_REGISTRY
 

@@ -24,7 +24,6 @@ per-host pipeline designed for the JAX data plane:
 from __future__ import annotations
 
 import io
-import itertools
 import json
 import logging
 import queue
@@ -33,8 +32,8 @@ import re
 import subprocess
 import tarfile
 import threading
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterator, List
 
 import numpy as np
 

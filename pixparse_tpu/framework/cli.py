@@ -24,7 +24,7 @@ import argparse
 import dataclasses
 import json
 import typing
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Type
+from typing import Any, Dict, List, Optional, Sequence, Type
 
 
 class _Missing:

@@ -31,7 +31,7 @@ with a deterministic first-party grouping.
 from __future__ import annotations
 
 import logging
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import optax

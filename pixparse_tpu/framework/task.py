@@ -15,7 +15,6 @@ from __future__ import annotations
 import logging
 from typing import Any, Dict, Optional
 
-import numpy as np
 
 from pixparse_tpu.framework.config import TaskEvalCfg, TaskTrainCfg
 from pixparse_tpu.framework.monitor import Monitor

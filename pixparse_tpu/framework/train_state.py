@@ -31,7 +31,7 @@ from flax import linen as nn
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pixparse_tpu.parallel.mesh import DEFAULT_LOGICAL_RULES, batch_sharding, logical_sharding
+from pixparse_tpu.parallel.mesh import logical_sharding
 
 _logger = logging.getLogger(__name__)
 

@@ -17,7 +17,7 @@ from flax import linen as nn
 from pixparse_tpu.models.bart import BartCausalDecoder, BartDecoderCfg, resolve_bart_cfg
 from pixparse_tpu.models.config import ModelCfg
 from pixparse_tpu.models.swin import Swin, SwinCfg, resolve_swin_cfg
-from pixparse_tpu.models.vit import ViT, ViTCfg, resolve_vit_cfg
+from pixparse_tpu.models.vit import ViT, resolve_vit_cfg
 
 
 def resolve_image_encoder_cfg(name: str, image_size, in_chans: int):

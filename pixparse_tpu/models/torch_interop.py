@@ -30,7 +30,6 @@ Conventions handled:
 from __future__ import annotations
 
 import logging
-import re
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax

@@ -20,7 +20,7 @@ Weight import from timm checkpoints is in
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

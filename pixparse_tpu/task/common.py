@@ -10,7 +10,7 @@ shapes and ids, so they are reproduced verbatim from the reference tasks
 from __future__ import annotations
 
 import logging
-from typing import Iterable, List, Optional
+from typing import Iterable, List
 
 import numpy as np
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import logging
 import time
-from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -27,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pixparse_tpu.data.transforms import create_transforms
-from pixparse_tpu.framework.config import TaskEvalCfg, TaskTrainCfg
 from pixparse_tpu.framework.optimization import create_optimizer
 from pixparse_tpu.framework.task import TaskEval, TaskTrain
 from pixparse_tpu.framework.train_state import create_train_state, make_train_step
@@ -39,9 +37,8 @@ from pixparse_tpu.models.torch_interop import (
     resize_token_embeddings,
 )
 from pixparse_tpu.ops.generation import generate
-from pixparse_tpu.ops.loss import chunked_cross_entropy_from_hidden, cross_entropy_loss
+from pixparse_tpu.ops.loss import chunked_cross_entropy_from_hidden
 from pixparse_tpu.task.common import (
-    SPECIAL_TOKENS_FROM_PRETRAIN,
     add_special_tokens,
     fold_image_stats,
 )

@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from pixparse_tpu.framework.config import TaskEvalCfg
-from pixparse_tpu.models.config import ModelCfg, get_model_config
+from pixparse_tpu.models.config import ModelCfg
 from pixparse_tpu.task.common import (
     DOCVQA_FINETUNE_TOKENS,
     SPECIAL_TOKENS_FROM_PRETRAIN,

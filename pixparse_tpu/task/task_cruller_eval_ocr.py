@@ -17,7 +17,7 @@ import numpy as np
 
 from pixparse_tpu.data.preprocess import preprocess_ocr_anno
 from pixparse_tpu.framework.config import TaskEvalCfg
-from pixparse_tpu.models.config import ModelCfg, get_model_config
+from pixparse_tpu.models.config import ModelCfg
 from pixparse_tpu.task.common import PRETRAIN_TASK_START, SEP_TOKEN
 from pixparse_tpu.task.cruller_base import BaseCrullerEvalTask
 from pixparse_tpu.tokenizers import TokenizerCfg

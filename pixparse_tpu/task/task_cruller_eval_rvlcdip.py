@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from pixparse_tpu.framework.config import TaskEvalCfg
-from pixparse_tpu.models.config import ModelCfg, get_model_config
+from pixparse_tpu.models.config import ModelCfg
 from pixparse_tpu.task.common import (
     RVLCDIP_FINETUNE_TOKENS,
     RVLCDIP_INT2STR,

@@ -17,7 +17,7 @@ import numpy as np
 
 from pixparse_tpu.data.preprocess import text_input_to_target
 from pixparse_tpu.framework.config import TaskTrainCfg
-from pixparse_tpu.models.config import ModelCfg, get_model_config
+from pixparse_tpu.models.config import ModelCfg
 from pixparse_tpu.task.common import (
     DOCVQA_FINETUNE_TOKENS,
     SPECIAL_TOKENS_FROM_PRETRAIN,

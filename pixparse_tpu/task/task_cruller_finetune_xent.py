@@ -21,7 +21,7 @@ from flax import linen as nn
 from pixparse_tpu.framework.config import TaskTrainCfg
 from pixparse_tpu.framework.optimization import create_optimizer
 from pixparse_tpu.framework.train_state import create_train_state, make_train_step
-from pixparse_tpu.models.config import ModelCfg, get_model_config
+from pixparse_tpu.models.config import ModelCfg
 from pixparse_tpu.models.vit import ViT
 from pixparse_tpu.task.common import SPECIAL_TOKENS_FROM_PRETRAIN, stack_images
 from pixparse_tpu.task.cruller_base import BaseCrullerTrainTask

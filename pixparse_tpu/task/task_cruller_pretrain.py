@@ -15,10 +15,9 @@ from typing import Optional
 
 from pixparse_tpu.data.preprocess import preprocess_ocr_anno, preprocess_text_anno
 from pixparse_tpu.framework.config import TaskTrainCfg
-from pixparse_tpu.models.config import ModelCfg, get_model_config
+from pixparse_tpu.models.config import ModelCfg
 from pixparse_tpu.task.common import (
     PRETRAIN_TASK_START,
-    SEP_TOKEN,
     SPECIAL_TOKENS_FROM_PRETRAIN,
 )
 from pixparse_tpu.task.cruller_base import BaseCrullerTrainTask

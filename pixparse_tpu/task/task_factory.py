@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 from pixparse_tpu.task.task_cruller_eval_cord import (
     TaskCrullerEvalCORD,
