@@ -71,7 +71,7 @@ class ViTAttention(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, pad_bias=None):
         c = self.cfg
         head_dim = c.embed_dim // c.num_heads
         qkv = nn.Dense(
@@ -84,7 +84,9 @@ class ViTAttention(nn.Module):
         B, L, _ = qkv.shape
         qkv = qkv.reshape(B, L, 3, c.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v, impl=self.attn_impl, dtype=self.dtype)
+        out = dot_product_attention(
+            q, k, v, bias=pad_bias, impl=self.attn_impl, dtype=self.dtype
+        )
         out = out.reshape(B, L, c.embed_dim)
         out = nn.Dense(
             c.embed_dim,
@@ -128,7 +130,7 @@ class ViTBlock(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, pad_bias=None):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name=name,
@@ -136,7 +138,7 @@ class ViTBlock(nn.Module):
             bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
         )
         x = x + ViTAttention(c, dtype=self.dtype, attn_impl=self.attn_impl, name="attn")(
-            ln("norm1")(x), deterministic
+            ln("norm1")(x), deterministic, pad_bias
         )
         x = x + ViTMlp(c, dtype=self.dtype, name="mlp")(ln("norm2")(x), deterministic)
         return x

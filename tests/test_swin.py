@@ -130,3 +130,78 @@ def test_swin_logits_match_hf_donut():
         {"params": params}, jnp.asarray(img.transpose(0, 2, 3, 1))
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-5, rtol=3e-5)
+
+
+# ------------------------------------------------------------ pix2struct enc
+
+def test_pix2struct_encoder_forward_and_mask():
+    import jax
+    import jax.numpy as jnp
+
+    from pixparse_tpu.models.pix2struct import Pix2StructCfg, Pix2StructEncoder
+    from pixparse_tpu.ops.pix2struct import patchify_variable
+
+    cfg = Pix2StructCfg(
+        max_patches=64, patch_size=16, in_chans=1,
+        embed_dim=32, depth=2, num_heads=2, max_rows=32, max_cols=32,
+    )
+    model = Pix2StructEncoder(cfg)
+    rng = np.random.RandomState(0)
+    sample = patchify_variable(
+        rng.randint(0, 255, (120, 90, 1), np.uint8), 16, cfg.max_patches
+    )
+    batch = {
+        k: jnp.asarray(np.stack([v, v]))
+        for k, v in sample.items()
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["patches"], batch["rows"],
+        batch["cols"], batch["mask"],
+    )
+    out = model.apply(
+        variables, batch["patches"], batch["rows"], batch["cols"], batch["mask"]
+    )
+    assert out.shape == (2, cfg.max_patches, cfg.embed_dim)
+    n = int(sample["mask"].sum())
+    out_np = np.asarray(out)
+    # pad tokens zeroed; real tokens nonzero
+    np.testing.assert_array_equal(out_np[:, n:], 0)
+    assert np.abs(out_np[:, :n]).max() > 0
+
+    # changing PAD patch content must not affect real-token outputs
+    patches2 = np.asarray(batch["patches"]).copy()
+    patches2[:, n:] = 123.0
+    out2 = model.apply(
+        variables, jnp.asarray(patches2), batch["rows"], batch["cols"], batch["mask"]
+    )
+    np.testing.assert_allclose(out_np[:, :n], np.asarray(out2)[:, :n], atol=1e-5)
+
+
+def test_pix2struct_cruller_composition():
+    """Pix2Struct encoder output feeds the BART decoder cross-attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixparse_tpu.models.bart import BartCausalDecoder, BartDecoderCfg
+    from pixparse_tpu.models.pix2struct import Pix2StructCfg, Pix2StructEncoder
+    from pixparse_tpu.ops.pix2struct import patchify_variable
+
+    enc_cfg = Pix2StructCfg(
+        max_patches=32, patch_size=16, in_chans=1,
+        embed_dim=32, depth=1, num_heads=2, max_rows=16, max_cols=16,
+    )
+    dec_cfg = BartDecoderCfg(
+        vocab_size=64, d_model=32, decoder_layers=1,
+        decoder_attention_heads=2, decoder_ffn_dim=64, max_position_embeddings=32,
+    )
+    enc = Pix2StructEncoder(enc_cfg)
+    dec = BartCausalDecoder(dec_cfg)
+    rng = np.random.RandomState(0)
+    s = patchify_variable(rng.randint(0, 255, (100, 70, 1), np.uint8), 16, 32)
+    b = {k: jnp.asarray(v[None]) for k, v in s.items()}
+    ev = enc.init(jax.random.PRNGKey(0), b["patches"], b["rows"], b["cols"], b["mask"])
+    hidden = enc.apply(ev, b["patches"], b["rows"], b["cols"], b["mask"])
+    ids = jnp.zeros((1, 4), jnp.int32)
+    dv = dec.init(jax.random.PRNGKey(1), ids, hidden)
+    logits = dec.apply(dv, ids, hidden, mode="train")
+    assert logits.shape == (1, 4, 64)
