@@ -35,6 +35,7 @@ from pixparse_tpu.framework.checkpoint import (
     checkpoint_path as native_checkpoint_path,
     restore_train_state,
     save_checkpoint,
+    wait_for_saves,
 )
 from pixparse_tpu.framework.cli import ConfigArgumentParser
 from pixparse_tpu.parallel.mesh import MeshEnv
@@ -137,6 +138,7 @@ def train(cfg: TrainCfg, task, loaders: Dict[str, object]):
         if preempted["flag"]:
             break
 
+    wait_for_saves()  # commit the last async checkpoint before returning
     for sig, handler in prev_handlers.items():
         signal.signal(sig, handler)
 

@@ -36,6 +36,7 @@ def checkpoint_path(output_dir: str, interval: int) -> str:
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
     """Newest ``checkpoint-{i}`` dir under ``output_dir`` (None if none)."""
+    wait_for_saves()
     if not os.path.isdir(output_dir):
         return None
     best, best_i = None, -1
@@ -47,14 +48,47 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return best
 
 
-def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None):
-    """Write a train-state pytree (+ small metadata dict) to ``path``."""
+_async_checkpointer = None
+
+
+def _get_async_checkpointer():
+    global _async_checkpointer
+    if _async_checkpointer is None:
+        import orbax.checkpoint as ocp
+
+        _async_checkpointer = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_checkpointer
+
+
+def wait_for_saves():
+    """Block until any in-flight async checkpoint save has committed."""
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
+
+
+def save_checkpoint(
+    path: str, state: Any, metadata: Optional[dict] = None, async_save: bool = True
+):
+    """Write a train-state pytree (+ small metadata dict) to ``path``.
+
+    ``async_save=True`` (default) returns as soon as device arrays are
+    snapshotted and commits in the background, so the next interval trains
+    while the previous state serializes (a full cruller_base state is ~2.4 GB;
+    a synchronous save stalls the loop for its full write time). The previous
+    in-flight save is always awaited first, and callers must
+    :func:`wait_for_saves` before exiting."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     payload = {"state": state}
     if metadata:
         payload["metadata"] = {k: np.asarray(v) for k, v in metadata.items()}
+    if async_save:
+        ckptr = _get_async_checkpointer()
+        ckptr.wait_until_finished()  # one in-flight save at a time
+        ckptr.save(path, payload, force=True)
+        _logger.info("checkpoint save started (async): %s", path)
+        return
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
     _logger.info("saved checkpoint %s", path)
@@ -73,6 +107,7 @@ def restore_train_state(path: str, state_template: Any):
             return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
         return x
 
+    wait_for_saves()  # never race a restore against an in-flight save
     template = jax.tree_util.tree_map(as_restore_type, state_template)
     with ocp.PyTreeCheckpointer() as ckptr:
         item = {"state": template}
