@@ -496,14 +496,20 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
     # ------------------------------------------------------------------
     def setup(self):
         """Build the model and load ``resume_state_dict`` (parity:
-        ``task_cruller_eval_ocr.py:171-179``)."""
+        ``task_cruller_eval_ocr.py:171-179``). Params are replicated across
+        the local mesh so eval batches shard over every chip (the reference —
+        and a naive jit — would leave 7 of 8 chips idle on a v5e-8 host)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(self.device_env.mesh, P())
         self.model = Cruller(self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype)
         if self.resume_state_dict is not None:
             params = self.import_torch_params(
                 self.resume_state_dict, self.vit_cfg, self.bart_cfg
             )
             self.params = jax.tree_util.tree_map(
-                lambda p: jnp.asarray(np.asarray(p, np.float32)), params
+                lambda p: jax.device_put(np.asarray(p, np.float32), replicated),
+                params,
             )
             self.resume_state_dict = None
         else:
@@ -514,10 +520,25 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
             )
             import flax.linen as nn
 
-            self.params = nn.unbox(variables["params"])
+            self.params = jax.tree_util.tree_map(
+                lambda p: jax.device_put(p, replicated),
+                nn.unbox(variables["params"]),
+            )
+
+    def _shard_eval_batch(self, *arrays):
+        """Batch-shard eval inputs over the mesh when the batch divides the
+        data axes; single-device otherwise (ragged final eval batches)."""
+        n_shard = int(np.prod(self.device_env.mesh.devices.shape[:2]))
+        B = arrays[0].shape[0]
+        if B % n_shard:
+            return [jnp.asarray(a) for a in arrays]
+        placed = self.device_env.shard_batch(
+            {i: np.asarray(a) for i, a in enumerate(arrays)}
+        )
+        return [placed[i] for i in range(len(arrays))]
 
     # ------------------------------------------------------------------
-    def encode_images(self, images: np.ndarray) -> jax.Array:
+    def encode_images(self, images) -> jax.Array:
         return self.model.apply(
             {"params": self.params}, jnp.asarray(images), method="encode"
         )
@@ -531,7 +552,15 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
         max_length: Optional[int] = None,
     ) -> np.ndarray:
         """Batched jitted KV-cached decode -> (B, max_length) ids (greedy by
-        default; beam search when ``num_beams > 1``)."""
+        default; beam search when ``num_beams > 1``), batch-sharded over the
+        mesh when the batch divides it."""
+        with self.device_env.mesh:
+            return self._generate_ids_inner(images, prompt_ids, max_length)
+
+    def _generate_ids_inner(self, images, prompt_ids, max_length):
+        images, prompt_ids = self._shard_eval_batch(
+            np.asarray(images), np.asarray(prompt_ids, np.int32)
+        )
         enc = self.encode_images(images)
         if self.num_beams > 1:
             from pixparse_tpu.ops.generation import generate_beam

@@ -300,3 +300,21 @@ def test_pretrain_task_with_swin_encoder():
     assert np.isfinite(losses).all()
     sd = task.state_dict()
     assert "image_encoder.trunk.layers.0.blocks.0.attn.qkv.weight" in sd
+
+
+def test_eval_generation_sharded_matches_single_device():
+    """Eval decode sharded over the 8-device mesh == single-device decode."""
+    from pixparse_tpu.task import TaskCrullerEvalOCR, TaskCrullerEvalOCRCfg
+
+    env = _env()
+    task = TaskCrullerEvalOCR(_task_cfg(TaskCrullerEvalOCRCfg), env, None)
+    task.max_generation_length = 12
+    task.setup()
+    rng = np.random.RandomState(0)
+    images = rng.rand(8, 64, 48, 1).astype(np.float32)  # divides the mesh
+    bos = np.zeros((8, 1), np.int32)
+    sharded = task.generate_ids(images, bos, 12)
+
+    # odd batch: falls back to single-device placement, same code path output
+    single = task.generate_ids(images[:3], bos[:3], 12)
+    np.testing.assert_array_equal(sharded[:3], single)
