@@ -296,3 +296,55 @@ def test_fsdp_mesh_shards_params():
     # adam moments inherit the layout (GSPMD propagation)
     mu_kernel = state.opt_state[0].mu["image_encoder"]["patch_embed"]["kernel"]
     assert mu_kernel.sharding == kernel.sharding
+
+
+def test_resume_is_bit_identical_to_continuous_run(tmp_path):
+    """Save at step 2, restore into a fresh state, continue: steps 3-4 must
+    match the uninterrupted run exactly (full-state checkpointing + per-step
+    fold_in dropout make resume deterministic — the reference cannot do this,
+    it never saves optimizer state)."""
+    import optax
+
+    from pixparse_tpu.framework.checkpoint import (
+        restore_train_state,
+        save_checkpoint,
+        wait_for_saves,
+    )
+
+    model, vit_cfg, bart_cfg, batch = _tiny_model_and_batch()
+    mesh = create_mesh()
+    opt_cfg = OptimizationCfg(learning_rate=1e-3, clip_grad_value=1.0, clip_grad_mode="norm")
+    tx, _ = create_optimizer(
+        opt_cfg, 10, 1, 10, encoder_depth=vit_cfg.depth,
+        decoder_layers=bart_cfg.decoder_layers,
+    )
+    example = (
+        jnp.zeros((8, *vit_cfg.img_size, vit_cfg.in_chans)),
+        jnp.zeros((8, 16), jnp.int32),
+    )
+    step = make_train_step(_make_loss(model), tx, mesh, donate=False)
+    sharded = shard_batch(mesh, batch)
+
+    # continuous run: 4 steps
+    state_c, _ = create_train_state(model, tx, mesh, example, seed=7)
+    cont_losses = []
+    for _ in range(4):
+        state_c, m = step(state_c, sharded)
+        cont_losses.append(float(m["loss"]))
+
+    # interrupted run: 2 steps, checkpoint, restore, 2 more
+    state_a, _ = create_train_state(model, tx, mesh, example, seed=7)
+    for _ in range(2):
+        state_a, m = step(state_a, sharded)
+    path = str(tmp_path / "checkpoint-0")
+    save_checkpoint(path, state_a, metadata={"interval": 0})
+    wait_for_saves()
+
+    fresh, _ = create_train_state(model, tx, mesh, example, seed=99)
+    state_b, meta = restore_train_state(path, fresh)
+    resumed_losses = []
+    for _ in range(2):
+        state_b, m = step(state_b, sharded)
+        resumed_losses.append(float(m["loss"]))
+
+    np.testing.assert_array_equal(resumed_losses, cont_losses[2:])
