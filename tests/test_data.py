@@ -314,3 +314,18 @@ def test_get_additional_tokens_from_dataset():
     tokens = get_additional_tokens_from_dataset([], dataset=samples)
     assert "<s_menu>" in tokens and "</s_menu>" in tokens
     assert "<s_total_price>" in tokens
+
+
+def test_better_transform_train_stochastic_eval_deterministic():
+    from pixparse_tpu.data.transforms import create_transforms
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (100, 80), np.uint8)
+    ev = create_transforms("better", (64, 48), training=False, image_mean=0.5, image_std=0.5)
+    a, b = ev(img), ev(img)
+    np.testing.assert_array_equal(a, b)  # eval path deterministic
+    assert a.shape == (64, 48, 1)
+
+    tr = create_transforms("better", (64, 48), training=True, image_mean=0.5, image_std=0.5, seed=0)
+    outs = [tr(img) for _ in range(4)]
+    assert any(not np.array_equal(outs[0], o) for o in outs[1:])  # jitter active

@@ -136,3 +136,39 @@ def test_generate_variable_length_prompts_match_per_sample():
         n = min(len(batch_seq), len(solo_seq))
         assert n > len(prompt), "no tokens generated"
         np.testing.assert_array_equal(batch_seq[:n], solo_seq[:n])
+
+
+def test_sampled_generation_reproducible_and_diverse():
+    model, params, enc, prompt, cfg = _model_and_inputs()
+    kw = dict(max_length=12, eos_token_id=cfg.eos_token_id,
+              pad_token_id=cfg.pad_token_id, sample=True, temperature=2.0)
+    a = generate(model, params, enc, prompt, rng=jax.random.PRNGKey(5), **kw)
+    b = generate(model, params, enc, prompt, rng=jax.random.PRNGKey(5), **kw)
+    c = generate(model, params, enc, prompt, rng=jax.random.PRNGKey(6), **kw)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    assert not np.array_equal(np.asarray(a.tokens), np.asarray(c.tokens))
+
+
+def test_eval_task_with_beam_search():
+    from pixparse_tpu.framework.config import OptimizationCfg
+    from pixparse_tpu.parallel.mesh import MeshEnv
+    from pixparse_tpu.task import TaskCrullerEvalRVLCDIP, TaskCrullerEvalRVLCDIPCfg
+    from pixparse_tpu.tokenizers import TokenizerCfg
+    from PIL import Image
+
+    env = MeshEnv.initialize()
+    task = TaskCrullerEvalRVLCDIP(
+        TaskCrullerEvalRVLCDIPCfg(
+            model_name="cruller_test", tokenizer=TokenizerCfg(name="pixparse_bytelevel")
+        ),
+        env, None,
+    )
+    task.num_beams = 2
+    task.setup()
+    rng = np.random.RandomState(0)
+    batch = task.collate_fn([
+        {"image": Image.fromarray(rng.randint(0, 255, (70, 60), np.uint8), "L"),
+         "label": 3},
+    ])
+    metrics = task.step(batch)
+    assert metrics["classification"]["n_valid_samples"] == 1
