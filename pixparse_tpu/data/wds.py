@@ -212,8 +212,12 @@ def create_doc_anno_pipe(
                 sample[ext], ext, image_fmt, page_index, target_size=target_size
             )
             image = image_preprocess(img)
+            if isinstance(image, dict):  # variable-resolution patch dicts
+                image = {k: np.asarray(v) for k, v in image.items()}
+            else:
+                image = np.asarray(image)
             return (
-                np.asarray(image),
+                image,
                 np.asarray(token_dict["text"][0]),
                 np.asarray(token_dict["target"][0]),
             )
@@ -253,12 +257,15 @@ def _decode_target_size(image_preprocess):
 
 
 def default_collate(samples: List):
-    """Stack a list of tuples/dicts of numpy arrays into batch arrays."""
+    """Stack a list of (possibly nested tuple/dict) numpy samples into batch
+    arrays, preserving structure."""
     first = samples[0]
     if isinstance(first, tuple):
-        return tuple(np.stack([s[i] for s in samples]) for i in range(len(first)))
+        return tuple(
+            default_collate([s[i] for s in samples]) for i in range(len(first))
+        )
     if isinstance(first, dict):
-        return {k: np.stack([s[k] for s in samples]) for k in first}
+        return {k: default_collate([s[k] for s in samples]) for k in first}
     return np.stack(samples)
 
 

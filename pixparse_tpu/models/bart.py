@@ -164,6 +164,7 @@ class CachedCrossAttention(nn.Module):
         x: jax.Array,  # (B, L, D)
         encoder_hidden_states: jax.Array,  # (B, Lk, D)
         mode: str = "train",
+        encoder_pad_bias: Optional[jax.Array] = None,  # (B, 1, 1, Lk) additive
     ):
         c = self.cfg
         H = c.decoder_attention_heads
@@ -200,7 +201,7 @@ class CachedCrossAttention(nn.Module):
             k, v = cached_k.value, cached_v.value
 
         out = dot_product_attention(
-            q, k, v, dtype=self.dtype,
+            q, k, v, dtype=self.dtype, bias=encoder_pad_bias,
             impl=self.attn_impl if mode == "train" else "xla",
         )
         out = out.reshape(B, L, c.d_model)
@@ -223,6 +224,7 @@ class BartDecoderLayer(nn.Module):
         self_pad_bias=None,
         mode: str = "train",
         deterministic: bool = True,
+        encoder_pad_bias=None,
     ):
         c = self.cfg
         dropout = nn.Dropout(rate=c.dropout)
@@ -251,7 +253,10 @@ class BartDecoderLayer(nn.Module):
                 deterministic=deterministic,
             )
             x = x + dropout(
-                cross_attn(cross_ln(x), encoder_hidden_states, mode=mode),
+                cross_attn(
+                    cross_ln(x), encoder_hidden_states, mode=mode,
+                    encoder_pad_bias=encoder_pad_bias,
+                ),
                 deterministic=deterministic,
             )
             x = x + ffn(ffn_ln(x))
@@ -264,7 +269,9 @@ class BartDecoderLayer(nn.Module):
         x = self_ln(residual + x)
 
         residual = x
-        x = cross_attn(x, encoder_hidden_states, mode=mode)
+        x = cross_attn(
+            x, encoder_hidden_states, mode=mode, encoder_pad_bias=encoder_pad_bias
+        )
         x = dropout(x, deterministic=deterministic)
         x = cross_ln(residual + x)
 
@@ -298,6 +305,7 @@ class BartCausalDecoder(nn.Module):
         deterministic: bool = True,
         return_hidden: bool = False,  # pre-head hidden for chunked CE
         positions: Optional[jax.Array] = None,  # (B, L) explicit positions
+        encoder_pad_mask: Optional[jax.Array] = None,  # (B, Lk) True = real key
     ) -> jax.Array:
         c = self.cfg
         B, L = input_ids.shape
@@ -364,6 +372,11 @@ class BartCausalDecoder(nn.Module):
             # static_argnums index __call__ args with self at 0: mode (4)
             # and deterministic (5) are Python-level statics
             layer_cls = nn.remat(BartDecoderLayer, static_argnums=(4, 5))
+        encoder_pad_bias = None
+        if encoder_pad_mask is not None:
+            encoder_pad_bias = jnp.where(
+                encoder_pad_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
+            )
         for i in range(c.decoder_layers):
             x = layer_cls(
                 c, self.max_cache_len, self.dtype, self.attn_impl, name=f"layers_{i}"
@@ -373,6 +386,7 @@ class BartCausalDecoder(nn.Module):
                 pad_bias,
                 mode,
                 deterministic,
+                encoder_pad_bias,
             )
 
         if c.add_final_layer_norm:

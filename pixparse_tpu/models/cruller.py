@@ -21,10 +21,14 @@ from pixparse_tpu.models.vit import ViT, resolve_vit_cfg
 
 
 def resolve_image_encoder_cfg(name: str, image_size, in_chans: int):
-    """Dispatch a timm-style encoder name to its family (ViT | Swin)."""
+    """Dispatch an encoder name to its family (ViT | Swin | Pix2Struct)."""
     base = name.split(".")[0]
     if base.startswith("swin") or base.startswith("donut_swin"):
         return resolve_swin_cfg(name, tuple(image_size), in_chans)
+    if base.startswith("pix2struct"):
+        from pixparse_tpu.models.pix2struct import resolve_pix2struct_cfg
+
+        return resolve_pix2struct_cfg(name, image_size, in_chans)
     return resolve_vit_cfg(name, tuple(image_size), in_chans)
 
 

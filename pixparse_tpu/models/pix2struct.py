@@ -135,3 +135,125 @@ class Pix2StructEncoder(nn.Module):
             # can be derived from the sequence itself if the mask is dropped
             x = x * mask[..., None].astype(x.dtype)
         return x
+
+
+# encoder-name -> architecture table (framework config registry dispatch)
+PIX2STRUCT_ARCH_TABLE = {
+    "pix2struct_base": dict(
+        max_patches=2048, patch_size=16, embed_dim=768, depth=12, num_heads=12,
+        max_rows=256, max_cols=256,
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+    ),
+    "pix2struct_test": dict(
+        max_patches=64, patch_size=16, embed_dim=64, depth=2, num_heads=2,
+        max_rows=32, max_cols=32,
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+    ),
+}
+
+
+def resolve_pix2struct_cfg(name: str, image_size, in_chans: int):
+    """Resolve a pix2struct encoder name. ``image_size`` is reinterpreted as
+    ``(max_patches, patch_size)`` when given (the family has no fixed canvas);
+    None keeps table defaults."""
+    base = name.split(".")[0]
+    if base not in PIX2STRUCT_ARCH_TABLE:
+        raise ValueError(
+            f"unknown pix2struct encoder '{name}' (known: {sorted(PIX2STRUCT_ARCH_TABLE)})"
+        )
+    arch = dict(PIX2STRUCT_ARCH_TABLE[base])
+    stats = dict(mean=arch.pop("mean"), std=arch.pop("std"))
+    if image_size:
+        arch["max_patches"], arch["patch_size"] = int(image_size[0]), int(image_size[1])
+    cfg = Pix2StructCfg(in_chans=in_chans, **arch)
+    return cfg, stats
+
+
+class Pix2StructCruller(nn.Module):
+    """Variable-resolution Cruller: Pix2Struct patch encoder + BART-style
+    decoder with cross-attention over real (unmasked) patches only.
+
+    Same method surface as :class:`pixparse_tpu.models.cruller.Cruller`
+    (``__call__`` / ``forward_hidden`` / ``encode`` / ``decode``) so the task
+    machinery and the jitted generation loop apply unchanged; image input is
+    the (patches, rows, cols, mask) dict from
+    :mod:`pixparse_tpu.ops.pix2struct` instead of a fixed canvas.
+    """
+
+    enc_cfg: Pix2StructCfg
+    bart_cfg: "BartDecoderCfg"  # noqa: F821 - import below
+    dtype: Dtype = jnp.float32
+    max_cache_len: int = 0
+    remat: bool = False
+
+    def setup(self):
+        from pixparse_tpu.models.bart import BartCausalDecoder
+
+        self.image_encoder = Pix2StructEncoder(self.enc_cfg, dtype=self.dtype)
+        self.text_decoder = BartCausalDecoder(
+            self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype,
+            remat=self.remat,
+        )
+
+    def encode(self, image_input, deterministic: bool = True) -> jax.Array:
+        return self.image_encoder(
+            image_input["patches"],
+            image_input["rows"],
+            image_input["cols"],
+            image_input.get("mask"),
+            deterministic=deterministic,
+        )
+
+    def __call__(
+        self,
+        image_input,  # dict(patches, rows, cols, mask)
+        text_input: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        enc = self.encode(image_input, deterministic)
+        return self.text_decoder(
+            text_input,
+            enc,
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+            encoder_pad_mask=image_input.get("mask"),
+        )
+
+    def forward_hidden(
+        self,
+        image_input,
+        text_input: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        enc = self.encode(image_input, deterministic)
+        return self.text_decoder(
+            text_input,
+            enc,
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+            return_hidden=True,
+            encoder_pad_mask=image_input.get("mask"),
+        )
+
+    def decode(
+        self,
+        input_ids: jax.Array,
+        encoder_output: jax.Array,
+        key_pad_mask: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        mode: str = "decode",
+        positions: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        # encoder pad keys are zeroed by the encoder; generation derives
+        # cross-key masking implicitly (zero keys get uniform low scores)
+        return self.text_decoder(
+            input_ids,
+            encoder_output,
+            attention_mask=attention_mask,
+            key_pad_mask=key_pad_mask,
+            mode=mode,
+            deterministic=True,
+            positions=positions,
+        )

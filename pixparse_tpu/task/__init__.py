@@ -38,4 +38,8 @@ from pixparse_tpu.task.task_cruller_pretrain import (
     TaskCrullerPretrainCfg,
 )
 from pixparse_tpu.task.task_donut_eval_ocr import TaskDonutEvalOCR, TaskDonutEvalOCRCfg
+from pixparse_tpu.task.task_pix2struct_pretrain import (
+    TaskPix2StructPretrain,
+    TaskPix2StructPretrainCfg,
+)
 from pixparse_tpu.task.task_factory import TASK_CLASS_REGISTRY, TaskFactory

@@ -340,7 +340,8 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
             and self.step_idx % self.eval_frequency == 0
         ):
             self._log_train_reconstruction(batch)
-        self._samples_since_log += batch["image"].shape[0] * self.device_env.process_count
+        batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        self._samples_since_log += batch_size * self.device_env.process_count
 
         if self.monitor and self.interval_batch_idx % self.log_frequency == 0:
             loss = float(metrics["loss"])

@@ -48,6 +48,10 @@ from pixparse_tpu.task.task_cruller_pretrain import (
     TaskCrullerPretrainCfg,
 )
 from pixparse_tpu.task.task_donut_eval_ocr import TaskDonutEvalOCR, TaskDonutEvalOCRCfg
+from pixparse_tpu.task.task_pix2struct_pretrain import (
+    TaskPix2StructPretrain,
+    TaskPix2StructPretrainCfg,
+)
 
 _logger = logging.getLogger(__name__)
 
@@ -62,6 +66,8 @@ TASK_CLASS_REGISTRY = {
     "cruller_finetune_cord": (TaskCrullerFinetuneCORD, TaskCrullerFinetuneCORDCfg),
     "cruller_finetune_docvqa": (TaskCrullerFinetuneDOCVQA, TaskCrullerFinetuneDOCVQACfg),
     "cruller_finetune_xent": (TaskCrullerFinetuneXent, TaskCrullerFinetuneXentCfg),
+    # extension beyond the reference's 10 tasks: variable-resolution pretrain
+    "pix2struct_pretrain": (TaskPix2StructPretrain, TaskPix2StructPretrainCfg),
 }
 
 

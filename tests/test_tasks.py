@@ -35,12 +35,14 @@ def _pil_image(h=80, w=60, seed=0):
 # ------------------------------------------------------------------ factory
 
 def test_factory_names_match_reference():
-    assert sorted(TASK_CLASS_REGISTRY) == sorted([
+    reference_names = {
         "cruller_eval_ocr", "cruller_eval_rvlcdip", "cruller_eval_cord",
         "cruller_eval_docvqa", "donut_eval_ocr", "cruller_pretrain",
         "cruller_finetune_rvlcdip", "cruller_finetune_cord",
         "cruller_finetune_docvqa", "cruller_finetune_xent",
-    ])
+    }
+    assert reference_names <= set(TASK_CLASS_REGISTRY)  # full reference parity
+    assert set(TASK_CLASS_REGISTRY) - reference_names == {"pix2struct_pretrain"}
 
 
 def test_factory_creates_tasks():
@@ -318,3 +320,41 @@ def test_eval_generation_sharded_matches_single_device():
     # odd batch: falls back to single-device placement, same code path output
     single = task.generate_ids(images[:3], bos[:3], 12)
     np.testing.assert_array_equal(sharded[:3], single)
+
+
+def test_pix2struct_pretrain_task_end_to_end():
+    """Variable-resolution pretrain: patchified batches train end-to-end."""
+    from pixparse_tpu.task import TaskPix2StructPretrain, TaskPix2StructPretrainCfg
+
+    env = _env()
+    cfg = TaskPix2StructPretrainCfg(
+        model_name="pix2struct_test",
+        tokenizer=LOCAL_TOK,
+        opt=OptimizationCfg(learning_rate=1e-3),
+    )
+    task = TaskPix2StructPretrain(cfg, env, None)
+    task.train_setup(num_batches_per_interval=2)
+
+    # per-sample host patchify (as the wds pipe would run it), then collate
+    from pixparse_tpu.data.wds import default_collate
+
+    rng = np.random.RandomState(0)
+    samples = []
+    L = task.max_position_embeddings
+    for i in range(8):
+        img = rng.randint(0, 255, (90 + 7 * i, 60 + 5 * i), np.uint8)  # varied aspect
+        patched = task.image_preprocess_train(img)
+        txt = rng.randint(4, 200, (L,)).astype(np.int64)
+        samples.append((patched, txt, txt.copy()))
+    batch = default_collate(samples)
+    losses = [float(task.train_step(batch)["loss"]) for _ in range(3)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    sd = task.state_dict()
+    assert any(k.startswith("image_encoder.") for k in sd)
+
+
+def test_pix2struct_task_in_factory():
+    from pixparse_tpu.task import TASK_CLASS_REGISTRY
+
+    assert "pix2struct_pretrain" in TASK_CLASS_REGISTRY
