@@ -78,6 +78,7 @@ class Pix2StructEncoder(nn.Module):
 
     cfg: Pix2StructCfg
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -121,10 +122,15 @@ class Pix2StructEncoder(nn.Module):
         bias = make_attention_bias(mask) if mask is not None else None
         x = nn.with_logical_constraint(x, ("batch", "image_length", None))
         block_cfg = self.cfg.vit_block_cfg()
+        block_cls = ViTBlock
+        if self.remat:
+            # 2048-token attention scores don't fit HBM un-rematerialized at
+            # practical batch sizes (measured OOM at B=8 on v5e)
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
         for i in range(c.depth):
-            x = ViTBlock(
+            x = block_cls(
                 block_cfg, dtype=self.dtype, name=f"blocks_{i}"
-            )(x, deterministic, pad_bias=bias)
+            )(x, deterministic, bias)
         x = nn.LayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name="norm",
             scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
@@ -189,7 +195,9 @@ class Pix2StructCruller(nn.Module):
     def setup(self):
         from pixparse_tpu.models.bart import BartCausalDecoder
 
-        self.image_encoder = Pix2StructEncoder(self.enc_cfg, dtype=self.dtype)
+        self.image_encoder = Pix2StructEncoder(
+            self.enc_cfg, dtype=self.dtype, remat=self.remat
+        )
         self.text_decoder = BartCausalDecoder(
             self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype,
             remat=self.remat,

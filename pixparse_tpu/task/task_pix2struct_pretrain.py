@@ -77,9 +77,13 @@ class TaskPix2StructPretrain(TaskCrullerPretrain):
             encoder_depth=self.vit_cfg.depth,
             decoder_layers=self.bart_cfg.decoder_layers,
         )
+        remat = getattr(cfg, "remat", None)
+        if remat is None:
+            # same auto heuristic as the base task; pix2struct_base (2048
+            # tokens x 12 blocks) OOMs v5e without remat (measured)
+            remat = self.vit_cfg.num_tokens * self.vit_cfg.depth > 20000
         self.model = Pix2StructCruller(
-            self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype,
-            remat=bool(getattr(cfg, "remat", None)),
+            self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype, remat=remat
         )
         n, pdim = self.vit_cfg.max_patches, (
             self.vit_cfg.patch_size ** 2 * self.vit_cfg.in_chans
