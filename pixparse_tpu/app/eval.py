@@ -40,18 +40,28 @@ class EvalCfg:
     seed: int = 42
 
 
-def _merge_metric_trees(trees):
-    """Average numeric leaves across per-host metric trees (hosts evaluate
-    disjoint data shards)."""
+_SUM_KEY_HINTS = ("samples", "count", "num", "correct", "total")
+
+
+def _merge_metric_trees(trees, key: str = ""):
+    """Merge per-host metric trees (hosts evaluate disjoint data shards):
+    count-like leaves (name contains samples/count/num/correct/total) are
+    SUMMED, other numeric leaves averaged. NOTE: the average is unweighted
+    across hosts — with uneven shard sizes (ragged final shards) ratio metrics
+    carry a small bias; tasks exposing counts (e.g. rvlcdip accuracy) merge
+    exactly."""
     if len(trees) == 1:
         return trees[0]
     first = trees[0]
     if isinstance(first, dict):
         return {
-            k: _merge_metric_trees([t[k] for t in trees if k in t]) for k in first
+            k: _merge_metric_trees([t[k] for t in trees if k in t], k)
+            for k in first
         }
     if isinstance(first, (int, float)):
         vals = [t for t in trees if isinstance(t, (int, float))]
+        if any(h in key.lower() for h in _SUM_KEY_HINTS):
+            return sum(vals)
         return sum(vals) / max(1, len(vals))
     return first
 

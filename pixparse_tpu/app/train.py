@@ -25,7 +25,6 @@ from typing import Dict, Optional
 from pixparse_tpu.data import DataCfg, create_loader
 from pixparse_tpu.framework import (
     Monitor,
-    TaskTrainCfg,
     random_seed,
     setup_logging,
     train_one_interval,
@@ -75,13 +74,18 @@ def _save_interval_checkpoints(
     checkpoint_dir = os.path.join(cfg.output_checkpoint_dir, cfg.experiment)
     if device_env.is_primary():
         os.makedirs(checkpoint_dir, exist_ok=True)
-        # reference-compatible model-only .pt
+        # reference-compatible model-only .pt (host-gathering params; skipped
+        # when params span non-addressable devices — fsdp>1 multihost — where
+        # the orbax full-state below is the checkpoint of record)
         from pixparse_tpu.models.torch_interop import save_torch_checkpoint
 
-        save_torch_checkpoint(
-            os.path.join(checkpoint_dir, f"checkpoint-{interval}.pt"),
-            task.state_dict(),
-        )
+        try:
+            save_torch_checkpoint(
+                os.path.join(checkpoint_dir, f"checkpoint-{interval}.pt"),
+                task.state_dict(),
+            )
+        except RuntimeError as e:
+            _logger.warning(".pt export skipped (params not host-addressable): %s", e)
     # full train state (all hosts participate in a sharded save)
     last_complete = interval if completed else interval - 1
     save_checkpoint(
@@ -142,13 +146,6 @@ def train(cfg: TrainCfg, task, loaders: Dict[str, object]):
     for sig, handler in prev_handlers.items():
         signal.signal(sig, handler)
 
-
-def build_parser() -> ConfigArgumentParser:
-    parser = ConfigArgumentParser(description="pixparse_tpu train")
-    parser.add_arguments(TrainCfg, dest="train")
-    parser.add_arguments(TaskTrainCfg, dest="task")
-    parser.add_arguments(DataCfg, dest="data")
-    return parser
 
 
 def main(argv=None):
@@ -304,7 +301,10 @@ def main(argv=None):
             world_size=device_env.world_size,
             global_rank=device_env.global_rank,
         )
-    task.train_setup(num_batches_per_interval=loaders["train"].num_batches)
+    task.train_setup(
+        num_batches_per_interval=loaders["train"].num_batches,
+        seed=train_cfg.seed,
+    )
 
     if native_resume_dir is not None:
         task.state, meta = restore_train_state(native_resume_dir, task.state)

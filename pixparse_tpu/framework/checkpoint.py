@@ -118,8 +118,11 @@ def restore_train_state(path: str, state_template: Any):
                     k: np.zeros(m.shape, m.dtype)
                     for k, m in disk_tree["metadata"].items()
                 }
-        except Exception:
-            pass
+        except Exception as e:
+            _logger.warning(
+                "could not read checkpoint metadata from %s (%s) — interval/"
+                "step counters will restart from 0", path, e,
+            )
         restored = ckptr.restore(path, args=ocp.args.PyTreeRestore(item=item))
     metadata = restored.get("metadata") or {}
     metadata = {k: _to_py(v) for k, v in metadata.items()}

@@ -113,6 +113,7 @@ class Cruller(nn.Module):
         attention_mask: Optional[jax.Array] = None,
         mode: str = "decode",
         positions: Optional[jax.Array] = None,
+        encoder_pad_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Cached decode step / prefill (see BartCausalDecoder modes); with
         ``mode='train'`` this is a cache-free teacher-forced decoder pass."""
@@ -124,4 +125,5 @@ class Cruller(nn.Module):
             mode=mode,
             deterministic=True,
             positions=positions,
+            encoder_pad_mask=encoder_pad_mask,
         )

@@ -145,14 +145,16 @@ class Pix2StructEncoder(nn.Module):
 
 # encoder-name -> architecture table (framework config registry dispatch)
 PIX2STRUCT_ARCH_TABLE = {
+    # row/col tables sized to max_patches (HF Pix2Struct convention): a
+    # 452x4 extreme-aspect grid must not alias rows past a smaller table
     "pix2struct_base": dict(
         max_patches=2048, patch_size=16, embed_dim=768, depth=12, num_heads=12,
-        max_rows=256, max_cols=256,
+        max_rows=2048, max_cols=2048,
         mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
     ),
     "pix2struct_test": dict(
         max_patches=64, patch_size=16, embed_dim=64, depth=2, num_heads=2,
-        max_rows=32, max_cols=32,
+        max_rows=64, max_cols=64,
         mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
     ),
 }
@@ -191,6 +193,7 @@ class Pix2StructCruller(nn.Module):
     dtype: Dtype = jnp.float32
     max_cache_len: int = 0
     remat: bool = False
+    attn_impl: str = "xla"  # decoder train attention (flash-eligible)
 
     def setup(self):
         from pixparse_tpu.models.bart import BartCausalDecoder
@@ -200,7 +203,7 @@ class Pix2StructCruller(nn.Module):
         )
         self.text_decoder = BartCausalDecoder(
             self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype,
-            remat=self.remat,
+            remat=self.remat, attn_impl=self.attn_impl,
         )
 
     def encode(self, image_input, deterministic: bool = True) -> jax.Array:
@@ -253,9 +256,8 @@ class Pix2StructCruller(nn.Module):
         attention_mask: Optional[jax.Array] = None,
         mode: str = "decode",
         positions: Optional[jax.Array] = None,
+        encoder_pad_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
-        # encoder pad keys are zeroed by the encoder; generation derives
-        # cross-key masking implicitly (zero keys get uniform low scores)
         return self.text_decoder(
             input_ids,
             encoder_output,
@@ -264,4 +266,5 @@ class Pix2StructCruller(nn.Module):
             mode=mode,
             deterministic=True,
             positions=positions,
+            encoder_pad_mask=encoder_pad_mask,
         )

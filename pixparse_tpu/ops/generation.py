@@ -78,6 +78,7 @@ def generate(
     sample: bool = False,
     temperature: float = 5.0,
     rng: Optional[jax.Array] = None,
+    encoder_pad_mask: Optional[jax.Array] = None,  # (B, Lk) True = real key
 ) -> GenerateResult:
     B, Lp = prompt_ids.shape
     assert Lp < max_length, "prompt longer than max_length"
@@ -116,6 +117,7 @@ def generate(
         method="decode",
         mutable=["cache"],
         positions=prompt_positions,
+        encoder_pad_mask=encoder_pad_mask,
     )
     cache = mutated["cache"]
 
@@ -152,6 +154,7 @@ def generate(
             method="decode",
             mutable=["cache"],
             positions=step_positions,
+            encoder_pad_mask=encoder_pad_mask,
         )
         return State(
             buffer=buf,

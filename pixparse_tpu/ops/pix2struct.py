@@ -57,8 +57,10 @@ def patchify_variable(
     if image.ndim == 2:
         image = image[:, :, None]
     if image.dtype.kind == "f":
-        # accept float images in [0, 1] or [0, 255]
-        scale = 255.0 if image.max() <= 1.0 + 1e-6 else 1.0
+        # accept float images in [0, 1] or [0, 255]; a float image whose max
+        # is <= 1.5 is treated as [0, 1] (an all-dark [0, 255] float image is
+        # ambiguous — pass uint8 to be explicit)
+        scale = 255.0 if image.max() <= 1.5 else 1.0
         image = np.clip(image * scale, 0, 255).astype(np.uint8)
     h, w, c = image.shape
     rows, cols = variable_grid(h, w, patch_size, max_patches)

@@ -82,8 +82,12 @@ class TaskPix2StructPretrain(TaskCrullerPretrain):
             # same auto heuristic as the base task; pix2struct_base (2048
             # tokens x 12 blocks) OOMs v5e without remat (measured)
             remat = self.vit_cfg.num_tokens * self.vit_cfg.depth > 20000
+        attn_impl = getattr(cfg, "attn_impl", "auto")
+        if attn_impl == "auto":
+            attn_impl = "flash" if jax.devices()[0].platform != "cpu" else "xla"
         self.model = Pix2StructCruller(
-            self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype, remat=remat
+            self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype, remat=remat,
+            attn_impl=attn_impl,
         )
         n, pdim = self.vit_cfg.max_patches, (
             self.vit_cfg.patch_size ** 2 * self.vit_cfg.in_chans
