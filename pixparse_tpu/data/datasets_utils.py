@@ -33,11 +33,32 @@ class CustomVQADataset:
         assert split in ("train", "val", "test"), f"bad split {split}"
         self.split = split
         self.root_dir = root_dir
-        anno_path = os.path.join(root_dir, f"{split}_v1.0.json")
-        if not os.path.exists(anno_path):
-            raise FileNotFoundError(anno_path)
+        # reference layout: root/{split}/processed_{split}_v1.0.json (train)
+        # or root/{split}/{split}_v1.0.json; flat root/{split}_v1.0.json also
+        # accepted (``data/datasets_utils.py:38-43`` in /root/reference)
+        candidates = [
+            os.path.join(root_dir, split, f"processed_{split}_v1.0.json"),
+            os.path.join(root_dir, split, f"{split}_v1.0.json"),
+            os.path.join(root_dir, f"{split}_v1.0.json"),
+        ]
+        anno_path = next((p for p in candidates if os.path.exists(p)), None)
+        if anno_path is None:
+            raise FileNotFoundError(f"none of {candidates} exist")
+        # images are relative to the directory holding the annotation file
+        self.img_dir = os.path.dirname(anno_path)
         with open(anno_path) as fh:
-            raw = json.load(fh)["data"]
+            loaded = json.load(fh)
+        if isinstance(loaded, dict) and "data" in loaded:
+            raw = loaded["data"]
+        elif split == "train" and isinstance(loaded, dict):
+            # reference processed-train format: {image_id: [qa strings]}
+            self.entries = [
+                {"image": img, "labels": qas, "question_id": -1}
+                for img, qas in loaded.items()
+            ]
+            return
+        else:
+            raw = loaded
 
         # item shapes mirror the reference exactly
         # (``data/datasets_utils.py:55-79``): train labels are tag-formatted
@@ -87,7 +108,7 @@ class CustomVQADataset:
         from PIL import Image
 
         entry = dict(self.entries[idx])
-        img_path = os.path.join(self.root_dir, entry["image"])
+        img_path = os.path.join(self.img_dir, entry["image"])
         entry["image"] = Image.open(img_path)
         return entry
 

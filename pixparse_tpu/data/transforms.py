@@ -64,12 +64,17 @@ def crop_margin(img: np.ndarray) -> np.ndarray:
     Background is assumed light (documents); the box is found on the
     min-max-normalized grayscale thresholded at mid-gray
     (behaviour parity: ``data/transforms.py:268-288``)."""
-    gray = img if img.ndim == 2 else img.mean(axis=-1)
+    if img.ndim == 2:
+        gray = img.astype(np.float32)
+    else:  # PIL 'L' luma weights (reference converts via img.convert('L'))
+        gray = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ).astype(np.float32)
     gmax, gmin = float(gray.max()), float(gray.min())
     if gmax <= gmin:
         return img
     norm = (gray - gmin) / (gmax - gmin)
-    ink = norm < 0.5
+    ink = norm < (200.0 / 255.0)  # reference threshold (<200 after 0-255 norm)
     ys, xs = np.nonzero(ink)
     if len(ys) == 0:
         return img
@@ -84,7 +89,7 @@ def align_long_axis(img: np.ndarray, target_size: Tuple[int, int]) -> np.ndarray
     th, tw = target_size
     h, w = img.shape[:2]
     if (tw > th and w < h) or (tw < th and w > h):
-        img = np.rot90(img, k=1)
+        img = np.rot90(img, k=3)  # clockwise (reference F.rotate(angle=-90))
     return img
 
 
@@ -234,7 +239,8 @@ def brightness_contrast(
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-def jpeg_compression(img: np.ndarray, rng: np.random.RandomState, quality_range=(40, 90)) -> np.ndarray:
+def jpeg_compression(img: np.ndarray, rng: np.random.RandomState, quality_range=(95, 101)) -> np.ndarray:
+    # reference nougat aug: alb.ImageCompression(95) = quality 95-100
     if cv2 is None:
         return img
     q = int(rng.randint(*quality_range))
@@ -292,16 +298,21 @@ class ImagePipeline:
         import threading
 
         self._tl = threading.local()
+        self._salt_lock = threading.Lock()
+        self._next_salt = 0
 
     @property
     def rng(self) -> np.random.RandomState:
         # per-thread RNG: loader workers are threads and RandomState is not
-        # thread-safe (shared state would also make augs order-dependent)
+        # thread-safe. The salt is a monotonic per-pipeline counter —
+        # thread idents collide across concurrent threads (verified
+        # empirically) and are allocation-dependent, which would break both
+        # stream independence and seeded reproducibility.
         rng = getattr(self._tl, "rng", None)
         if rng is None:
-            import threading
-
-            salt = threading.get_ident() & 0xFFFF
+            with self._salt_lock:
+                salt = self._next_salt
+                self._next_salt += 1
             rng = np.random.RandomState(
                 None if self._seed is None else self._seed + salt
             )
@@ -328,7 +339,18 @@ class ImagePipeline:
             x = align_long_axis(x, self.image_size)
 
         if self.training:
-            # small-probability distortions (reference magnitudes ~p 0.02-0.05)
+            # resize FIRST (reference pipeline order), with jitter applied at
+            # the reference's probabilities (random_scale/aspect_prob=0.05 —
+            # not every sample)
+            scale = float(rng.uniform(0.85, 1.04)) if rng.rand() < 0.05 else 1.0
+            ratio = (
+                float(np.exp(rng.uniform(np.log(0.9), np.log(1.11))))
+                if rng.rand() < 0.05
+                else 1.0
+            )
+            x = resize_keep_ratio(x, self.image_size, self.interpolation, scale, ratio)
+            # small-probability distortions at canvas resolution (applying
+            # them pre-resize would average them away and cost megapixel cv2)
             if rng.rand() < 0.03:
                 x = bitmap(x)
             if rng.rand() < 0.02:
@@ -348,9 +370,6 @@ class ImagePipeline:
                     x = jpeg_compression(x, rng)
                 if rng.rand() < 0.03:
                     x = gaussian_noise(x, rng)
-            scale = float(rng.uniform(0.85, 1.04))
-            ratio = float(np.exp(rng.uniform(np.log(0.9), np.log(1.11))))
-            x = resize_keep_ratio(x, self.image_size, self.interpolation, scale, ratio)
             x = random_pad(x, self.image_size, rng, fill=self.fill, random_placement=True)
         else:
             x = resize_keep_ratio(x, self.image_size, self.interpolation)

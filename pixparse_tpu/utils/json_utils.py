@@ -82,7 +82,7 @@ def token2json(tokens: str, added_vocab: Dict[str, int] | None = None, is_inner_
         if start_match is None:
             break
         key = start_match.group(1)
-        end_match = re.search(rf"</s_{key}>", tokens, re.IGNORECASE)
+        end_match = re.search(rf"</s_{re.escape(key)}>", tokens, re.IGNORECASE)
         start_tag = start_match.group()
         if end_match is None:
             tokens = tokens.replace(start_tag, "")
@@ -243,4 +243,7 @@ class JSONParseEvaluator:
             remove_cost=self.insert_and_remove_cost,
             update_cost=self.update_cost,
         )
+        if norm == 0.0:
+            # empty ground truth: exact-empty prediction scores 1, else 0
+            return 1.0 if dist == 0.0 else 0.0
         return max(0.0, 1.0 - dist / norm)

@@ -37,7 +37,10 @@ def levenshtein_py(a: Sequence, b: Sequence) -> int:
 
 
 def normalized_levenshtein(s1: str, s2: str) -> float:
-    return _edit_distance(s1, s2) / max(len(s1), len(s2))
+    longest = max(len(s1), len(s2))
+    if longest == 0:
+        return 0.0  # both empty: zero distance (similarity 1 downstream)
+    return _edit_distance(s1, s2) / longest
 
 
 def similarity_score(a_ij: str, o_q_i: str, tau: float = 0.5) -> float:

@@ -329,3 +329,47 @@ def test_better_transform_train_stochastic_eval_deterministic():
     tr = create_transforms("better", (64, 48), training=True, image_mean=0.5, image_std=0.5, seed=0)
     outs = [tr(img) for _ in range(4)]
     assert any(not np.array_equal(outs[0], o) for o in outs[1:])  # jitter active
+
+
+def test_custom_vqa_dataset_reference_layout(tmp_path):
+    """Reference directory layout: root/{split}/processed_train_v1.0.json
+    with {image_id: [qa strings]} and images beside the json."""
+    import json as _json
+
+    from PIL import Image as PILImage
+
+    from pixparse_tpu.data.datasets_utils import CustomVQADataset
+
+    split_dir = tmp_path / "train"
+    split_dir.mkdir()
+    (split_dir / "documents").mkdir()
+    img_rel = "documents/doc1.png"
+    PILImage.fromarray(np.zeros((10, 10), np.uint8), "L").save(split_dir / img_rel)
+    (split_dir / "processed_train_v1.0.json").write_text(
+        _json.dumps({img_rel: ["<s_question>q</s_question><s_answer>a</s_answer>"]})
+    )
+    ds = CustomVQADataset(root_dir=str(tmp_path), split="train")
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["labels"][0].startswith("<s_question>")
+    assert item["image"].size == (10, 10)
+
+
+def test_crop_margin_reference_threshold():
+    from pixparse_tpu.data.transforms import crop_margin
+
+    img = np.full((50, 40), 255, np.uint8)
+    img[10:20, 5:15] = 180  # light-gray content (norm ~0.7 < 200/255)
+    out = crop_margin(img)
+    assert out.shape == (10, 10)  # light-gray treated as ink, kept
+
+
+def test_align_long_axis_clockwise():
+    from pixparse_tpu.data.transforms import align_long_axis
+
+    img = np.zeros((10, 20), np.uint8)
+    img[0, 0] = 255  # top-left marker
+    out = align_long_axis(img, (20, 10))  # portrait canvas, landscape image
+    assert out.shape == (20, 10)
+    # clockwise rotation: top-left -> top-right
+    assert out[0, -1] == 255

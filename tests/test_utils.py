@@ -154,3 +154,27 @@ def test_json_evaluator_flatten_and_normalize():
 def test_name_utils():
     assert clean_name("facebook/bart-base") == "facebook_bart_base"
     assert natural_key("cfg10") > natural_key("cfg2")
+
+
+def test_token2json_regex_metachar_key_does_not_crash():
+    from pixparse_tpu.utils import token2json
+
+    out = token2json("<s_(>garbage</s_(>")  # malformed generated tag
+    assert isinstance(out, dict)
+
+
+def test_cal_acc_empty_ground_truth():
+    from pixparse_tpu.utils import JSONParseEvaluator
+
+    ev = JSONParseEvaluator()
+    assert ev.cal_acc({}, {}) == 1.0
+    assert ev.cal_acc({"a": "b"}, {}) == 0.0
+
+
+def test_anls_empty_strings():
+    from pixparse_tpu.utils import average_normalized_levenshtein_similarity
+
+    out = average_normalized_levenshtein_similarity(
+        ground_truth=[[""]], predicted_answers=[""]
+    )
+    assert out == 1.0
