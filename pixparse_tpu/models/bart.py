@@ -315,7 +315,7 @@ class BartCausalDecoder(nn.Module):
             c.d_model,
             dtype=self.dtype,
             embedding_init=nn.with_logical_partitioning(
-                nn.initializers.normal(0.02), ("vocab", "embed")
+                nn.initializers.normal(0.02), ("vocab", "vocab_embed")
             ),
             name="embed_tokens",
         )

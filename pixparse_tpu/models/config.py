@@ -24,13 +24,19 @@ class ImageEncoderCfg:
     name: str = "vit_base_patch16_224"
     image_fmt: str = "L"
     image_size: Optional[Tuple[int, int]] = (576, 448)
-    pretrained: bool = False  # no hub downloads on TPU hosts; use checkpoint import
+    # Reference defaults pretrained=True (models/config.py:20) via timm hub;
+    # TPU hosts are offline so it is opt-in here — when True, weights resolve
+    # from pretrained_path / $PIXPARSE_PRETRAINED_DIR / local hub cache and a
+    # failure to resolve RAISES (models/pretrained.py).
+    pretrained: bool = False
+    pretrained_path: Optional[str] = None  # local timm-layout state dict
 
 
 @dataclass
 class TextDecoderCfg:
     name: str = "facebook/bart-base"
-    pretrained: bool = False
+    pretrained: bool = False  # see ImageEncoderCfg.pretrained
+    pretrained_path: Optional[str] = None  # local HF-layout state dict
     num_decoder_layers: Optional[int] = 4
     max_length: Optional[int] = 1024
     pad_token_id: Optional[int] = None

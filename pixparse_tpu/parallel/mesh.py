@@ -41,7 +41,13 @@ DEFAULT_LOGICAL_RULES: Tuple[Tuple[str, Any], ...] = (
     ("mlp", "model"),             # FFN hidden
     ("heads", "model"),           # attention heads
     ("kv", None),                 # per-head dim
-    ("vocab", "model"),           # token embedding / logits vocab dim
+    # Embedding table: shard the vocab dim over BOTH model and fsdp, embed dim
+    # replicated. Same per-shard bytes as (vocab->model, embed->fsdp), but the
+    # gather backward (scatter-add) stays efficient — an fsdp-sharded embed dim
+    # forces "[SPMD] Involuntary full rematerialization" of the (B, L, D)
+    # activation gradient on fsdp>1 meshes.
+    ("vocab", ("model", "fsdp")),
+    ("vocab_embed", None),
     ("length", None),             # sequence dim (future sequence-parallel axis)
     ("image_length", None),
     ("patch", None),              # flattened patch input dim
@@ -87,7 +93,16 @@ def create_mesh(
 
 
 def logical_sharding(logical_spec: P, mesh: Mesh, rules=DEFAULT_LOGICAL_RULES) -> NamedSharding:
-    """Map a PartitionSpec of *logical* axis names to a mesh NamedSharding."""
+    """Map a PartitionSpec of *logical* axis names to a mesh NamedSharding.
+
+    Rank-1 params (norm scales, biases) are always replicated: they are tiny,
+    and sharding them (e.g. a 1-D ``embed`` layernorm scale over ``fsdp``)
+    makes XLA reshard the full (B, L, D) activation gradient before the
+    param-grad reduction — an "[SPMD] Involuntary full rematerialization" on
+    fsdp/model meshes. Replicated, the grad is a cheap all-reduce of D floats.
+    """
+    if len(logical_spec) == 1:
+        return NamedSharding(mesh, P(None))
     table = dict(rules)
     mesh_spec = []
     for axis in logical_spec:

@@ -242,6 +242,30 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
             self.state = self.state.replace(params=params)
             self.resume_state_dict = None
             _logger.info("imported torch checkpoint into train state")
+        else:
+            # honor cfg.model.*.pretrained (reference defaults to pretrained
+            # backbones — image_encoder_timm.py:15, text_decoder_hf.py:25-33);
+            # raises when weights can't be resolved, never a silent no-op
+            from pixparse_tpu.models.pretrained import maybe_load_pretrained
+
+            pretrained = maybe_load_pretrained(
+                cfg.model, self.vit_cfg, self.bart_cfg
+            )
+            if pretrained:
+                params = dict(self.state.params)
+                for key, subtree in pretrained.items():
+                    params[key] = jax.tree_util.tree_map(
+                        lambda t, p: jax.device_put(
+                            np.asarray(p, dtype=t.dtype), t.sharding
+                        ),
+                        self.state.params[key],
+                        subtree,
+                    )
+                self.state = self.state.replace(params=params)
+                _logger.info(
+                    "initialized from pretrained backbones: %s",
+                    ", ".join(pretrained),
+                )
 
         model = self.model
 
