@@ -99,14 +99,19 @@ def resize_keep_ratio(
     interpolation: str = "bicubic",
     scale: float = 1.0,
     ratio: float = 1.0,
+    longest: float = 1.0,
 ) -> np.ndarray:
-    """Aspect-preserving resize to fit inside target (optionally jittered by
-    ``scale`` and aspect ``ratio`` factors, train-time)."""
+    """Aspect-preserving resize (reference ``ResizeKeepRatio.get_params``,
+    ``data/transforms.py:362-387``): fit by the longest side (``longest=1``),
+    jittered by a common ``scale`` factor and an aspect ``ratio`` factor that
+    divides the height factor and multiplies the width factor. NO clamping to
+    the target — the result may exceed it (train pads then center-crops)."""
     th, tw = target_size
     h, w = img.shape[:2]
-    fit = min(th / h, tw / w) * scale
-    nh = max(1, min(th, round(h * fit * ratio)))
-    nw = max(1, min(tw, round(w * fit / ratio)))
+    ratio_h, ratio_w = h / th, w / tw
+    fit = max(ratio_h, ratio_w) * longest + min(ratio_h, ratio_w) * (1.0 - longest)
+    nh = max(1, round(h * (scale / ratio) / fit))
+    nw = max(1, round(w * (scale * ratio) / fit))
     pil = Image.fromarray(img)
     pil = pil.resize((nw, nh), _interp_flag(interpolation))
     return np.asarray(pil)
@@ -136,6 +141,16 @@ def random_pad(
     return canvas
 
 
+def _center_crop(img: np.ndarray, target_size: Tuple[int, int]) -> np.ndarray:
+    """Plain center crop (reference 'better' train tail: RandomPad has already
+    padded to >= target, CenterCrop trims any resize-jitter overshoot)."""
+    th, tw = target_size
+    h, w = img.shape[:2]
+    top = max(0, (h - th) // 2)
+    left = max(0, (w - tw) // 2)
+    return img[top:top + th, left:left + tw]
+
+
 def center_crop_or_pad(img: np.ndarray, target_size: Tuple[int, int], fill: int = 255) -> np.ndarray:
     th, tw = target_size
     h, w = img.shape[:2]
@@ -150,21 +165,35 @@ def center_crop_or_pad(img: np.ndarray, target_size: Tuple[int, int], fill: int 
 
 
 def bitmap(img: np.ndarray, threshold: int = 200) -> np.ndarray:
-    """Hard binarization LUT (parity: ``data/transforms.py:416-425``)."""
-    return np.where(img < threshold, 0, 255).astype(np.uint8)
+    """Reference ``Bitmap`` LUT (``data/transforms.py:419-429``): pixels below
+    the threshold go to 0, pixels at/above KEEP their value (not 255)."""
+    return np.where(img < threshold, 0, img).astype(np.uint8)
 
 
-def erosion(img: np.ndarray, ksize: int = 3) -> np.ndarray:
+def _morph_kernel(rng: Optional[np.random.RandomState], scale) -> np.ndarray:
+    """'better' uses a square kernel (PIL Min/MaxFilter(3) == cv2 rect 3x3);
+    nougat's alb variants draw an ELLIPSE kernel with per-axis size
+    ``np.random.randint(scale[0], scale[1])`` (``transforms.py:487-510``)."""
+    if isinstance(scale, (tuple, list)):
+        size = tuple(int(rng.randint(scale[0], scale[1])) for _ in range(2))
+        if cv2 is not None:
+            return cv2.getStructuringElement(cv2.MORPH_ELLIPSE, size)
+        return np.ones(size[::-1], np.uint8)
+    return np.ones((scale, scale), np.uint8)
+
+
+def erosion(img: np.ndarray, scale=3, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
     """Min-filter (ink grows on dark-on-light docs)."""
     if cv2 is not None:
-        return cv2.erode(img, np.ones((ksize, ksize), np.uint8))
-    return _min_filter(img, ksize)
+        return cv2.erode(img, _morph_kernel(rng, scale))
+    return _min_filter(img, scale if isinstance(scale, int) else scale[0])
 
 
-def dilation(img: np.ndarray, ksize: int = 3) -> np.ndarray:
+def dilation(img: np.ndarray, scale=3, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
     if cv2 is not None:
-        return cv2.dilate(img, np.ones((ksize, ksize), np.uint8))
-    return 255 - _min_filter(255 - img, ksize)
+        return cv2.dilate(img, _morph_kernel(rng, scale))
+    k = scale if isinstance(scale, int) else scale[0]
+    return 255 - _min_filter(255 - img, k)
 
 
 def _min_filter(img: np.ndarray, ksize: int) -> np.ndarray:
@@ -176,30 +205,115 @@ def _min_filter(img: np.ndarray, ksize: int) -> np.ndarray:
     return win.min(axis=(-2, -1)).astype(img.dtype)
 
 
-def affine(
+def _border_value(img: np.ndarray, fill: int):
+    return [fill] * 3 if img.ndim == 3 else fill
+
+
+def tv_affine(
+    img: np.ndarray,
+    angle: float = 0.0,
+    translate: Tuple[int, int] = (0, 0),
+    shear: Tuple[float, float] = (0.0, 0.0),
+    scale: float = 1.0,
+    fill: int = 255,
+    interpolation: int = 2,  # cv2.INTER_CUBIC
+) -> np.ndarray:
+    """torchvision ``F.affine`` on numpy: the exact inverse-affine matrix from
+    torchvision ``_get_inverse_affine_matrix`` applied via cv2
+    ``WARP_INVERSE_MAP`` (reference RandomAffine ops,
+    ``data/transforms.py:119-137``)."""
+    if cv2 is None:
+        return img
+    import math
+
+    h, w = img.shape[:2]
+    cx, cy = w * 0.5, h * 0.5
+    tx, ty = translate
+    rot = math.radians(angle)
+    sx, sy = (math.radians(s) for s in shear)
+    a = math.cos(rot - sy) / math.cos(sy)
+    b = -math.cos(rot - sy) * math.tan(sx) / math.cos(sy) - math.sin(rot)
+    c = math.sin(rot - sy) / math.cos(sy)
+    d = -math.sin(rot - sy) * math.tan(sx) / math.cos(sy) + math.cos(rot)
+    m = [d / scale, -b / scale, 0.0, -c / scale, a / scale, 0.0]
+    m[2] += m[0] * (-cx - tx) + m[1] * (-cy - ty)
+    m[5] += m[3] * (-cx - tx) + m[4] * (-cy - ty)
+    m[2] += cx
+    m[5] += cy
+    return cv2.warpAffine(
+        img,
+        np.array(m, np.float64).reshape(2, 3),
+        (w, h),
+        flags=interpolation | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_CONSTANT,
+        borderValue=_border_value(img, fill),
+    )
+
+
+def shift_scale_rotate(
     img: np.ndarray,
     rng: np.random.RandomState,
-    max_rotate: float = 2.0,
-    max_shear: float = 2.0,
-    max_translate: float = 0.02,
+    shift_x=(0.0, 0.04),
+    shift_y=(0.0, 0.03),
+    scale_limit=(-0.15, 0.03),
+    rotate_limit: float = 2.0,
     fill: int = 255,
+    interpolation: int = 2,
 ) -> np.ndarray:
-    """Small random rotate/shear/translate (document-safe magnitudes)."""
+    """alb ``ShiftScaleRotate`` (nougat pipeline, ``transforms.py:203-212``):
+    rotation+scale about center, then fractional shift. Note the ONE-SIDED
+    shift ranges the reference uses."""
     if cv2 is None:
         return img
     h, w = img.shape[:2]
-    angle = rng.uniform(-max_rotate, max_rotate)
-    shear = np.deg2rad(rng.uniform(-max_shear, max_shear))
-    tx = rng.uniform(-max_translate, max_translate) * w
-    ty = rng.uniform(-max_translate, max_translate) * h
-    center = (w / 2, h / 2)
-    m = cv2.getRotationMatrix2D(center, angle, 1.0)
-    m[0, 1] += np.tan(shear)
-    m[0, 2] += tx
-    m[1, 2] += ty
+    angle = rng.uniform(-rotate_limit, rotate_limit)
+    scale = 1.0 + rng.uniform(*scale_limit)
+    dx = rng.uniform(*shift_x)
+    dy = rng.uniform(*shift_y)
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, scale)
+    m[0, 2] += dx * w
+    m[1, 2] += dy * h
     return cv2.warpAffine(
-        img, m, (w, h), flags=cv2.INTER_LINEAR,
-        borderMode=cv2.BORDER_CONSTANT, borderValue=[fill] * 3 if img.ndim == 3 else fill,
+        img, m, (w, h), flags=interpolation,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=_border_value(img, fill),
+    )
+
+
+def grid_distortion(
+    img: np.ndarray,
+    rng: np.random.RandomState,
+    num_steps: int = 5,
+    distort_limit: float = 0.05,
+    fill: int = 255,
+    interpolation: int = 2,
+) -> np.ndarray:
+    """alb ``GridDistortion`` (nougat, ``transforms.py:213-219``): per-cell
+    random stretch of a num_steps grid, remapped."""
+    if cv2 is None:
+        return img
+    h, w = img.shape[:2]
+    stepsx = 1 + rng.uniform(-distort_limit, distort_limit, num_steps + 1)
+    stepsy = 1 + rng.uniform(-distort_limit, distort_limit, num_steps + 1)
+
+    def _axis_map(size: int, steps: np.ndarray) -> np.ndarray:
+        step = size // num_steps
+        mapping = np.zeros(size, np.float32)
+        prev = 0.0
+        for idx in range(num_steps + 1):
+            start = idx * step
+            end = min(start + step, size)
+            if start >= size:
+                break
+            cur = size if end == size and start + step > size else prev + step * steps[idx]
+            mapping[start:end] = np.linspace(prev, cur, end - start)
+            prev = cur
+        return mapping
+
+    map_x = np.tile(_axis_map(w, stepsx), (h, 1))
+    map_y = np.tile(_axis_map(h, stepsy)[:, None], (1, w))
+    return cv2.remap(
+        img, map_x, map_y, interpolation=interpolation,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=_border_value(img, fill),
     )
 
 
@@ -208,34 +322,86 @@ def elastic(
     rng: np.random.RandomState,
     alpha: float = 50.0,
     sigma: float = 12.0,
+    alpha_affine: float = 0.0,
     fill: int = 255,
+    interpolation: int = 2,
 ) -> np.ndarray:
+    """Elastic distortion: gaussian-smoothed random displacement field
+    (reference 'better' torchvision ElasticTransform(50, 12) and nougat alb
+    ElasticTransform(50, 12, alpha_affine=1.2) magnitudes). ``alpha_affine``
+    adds alb's 3-point random affine pre-warp."""
     if cv2 is None:
         return img
     h, w = img.shape[:2]
+    if alpha_affine > 0:
+        center = np.float32([w, h]) // 2
+        sq = min(w, h) // 3
+        pts1 = np.float32(
+            [center + sq, [center[0] + sq, center[1] - sq], center - sq]
+        )
+        pts2 = pts1 + rng.uniform(-alpha_affine, alpha_affine, pts1.shape).astype(np.float32)
+        img = cv2.warpAffine(
+            img, cv2.getAffineTransform(pts1, pts2), (w, h),
+            borderMode=cv2.BORDER_CONSTANT, borderValue=_border_value(img, fill),
+        )
     dx = cv2.GaussianBlur((rng.rand(h, w).astype(np.float32) * 2 - 1), (0, 0), sigma) * alpha
     dy = cv2.GaussianBlur((rng.rand(h, w).astype(np.float32) * 2 - 1), (0, 0), sigma) * alpha
     x, y = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
     return cv2.remap(
-        img, x + dx, y + dy, interpolation=cv2.INTER_LINEAR,
-        borderMode=cv2.BORDER_CONSTANT, borderValue=[fill] * 3 if img.ndim == 3 else fill,
+        img, x + dx, y + dy, interpolation=interpolation,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=_border_value(img, fill),
     )
 
 
-def gaussian_blur(img: np.ndarray, rng: np.random.RandomState, max_sigma: float = 1.0) -> np.ndarray:
+def gaussian_blur(
+    img: np.ndarray,
+    rng: np.random.RandomState,
+    sigma_range: Tuple[float, float] = (0.1, 0.5),
+    ksize: int = 3,
+) -> np.ndarray:
+    """'better': torchvision GaussianBlur(3, sigma=(0.1, 0.5)); nougat: alb
+    GaussianBlur((3, 3)) with sigma 0 (cv2 derives 0.8 from the kernel)."""
     if cv2 is None:
         return img
-    sigma = rng.uniform(0.1, max_sigma)
-    return cv2.GaussianBlur(img, (0, 0), sigma)
+    sigma = rng.uniform(*sigma_range) if sigma_range else 0.0
+    return cv2.GaussianBlur(img, (ksize, ksize), sigma)
+
+
+def color_jitter(
+    img: np.ndarray, rng: np.random.RandomState, brightness: float = 0.1, contrast: float = 0.1
+) -> np.ndarray:
+    """torchvision ColorJitter(0.1, 0.1) ('better', ``transforms.py:146-149``):
+    brightness scales the image, contrast blends with the grayscale mean; the
+    two apply in random order like torchvision's permutation."""
+    x = img.astype(np.float32)
+    ops = []
+    if brightness:
+        b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda v: v * b)
+    if contrast:
+        c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+
+        def _contrast(v):
+            if v.ndim == 3 and v.shape[2] == 3:
+                mean = (0.299 * v[..., 0] + 0.587 * v[..., 1] + 0.114 * v[..., 2]).mean()
+            else:
+                mean = v.mean()
+            return c * v + (1 - c) * mean
+
+        ops.append(_contrast)
+    for i in rng.permutation(len(ops)):
+        x = ops[i](x)
+    return np.clip(x, 0, 255).astype(np.uint8)
 
 
 def brightness_contrast(
     img: np.ndarray, rng: np.random.RandomState, brightness: float = 0.1, contrast: float = 0.1
 ) -> np.ndarray:
-    b = rng.uniform(1 - brightness, 1 + brightness)
-    c = rng.uniform(1 - contrast, 1 + contrast)
-    mean = img.mean()
-    out = (img.astype(np.float32) - mean) * c + mean * b
+    """alb RandomBrightnessContrast(0.1, 0.1, brightness_by_max=True)
+    (nougat, ``transforms.py:240``): img*alpha + beta*255."""
+    alpha = 1.0 + rng.uniform(-contrast, contrast)
+    beta = rng.uniform(-brightness, brightness)
+    out = img.astype(np.float32) * alpha + beta * 255.0
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
@@ -251,7 +417,9 @@ def jpeg_compression(img: np.ndarray, rng: np.random.RandomState, quality_range=
     return dec if dec is not None else img
 
 
-def gaussian_noise(img: np.ndarray, rng: np.random.RandomState, sigma: float = 8.0) -> np.ndarray:
+def gaussian_noise(img: np.ndarray, rng: np.random.RandomState, var_limit=(0.0, 20.0)) -> np.ndarray:
+    """alb GaussNoise(20) (nougat): variance ~ U(0, 20), sigma = sqrt(var)."""
+    sigma = float(np.sqrt(rng.uniform(*var_limit)))
     noise = rng.randn(*img.shape) * sigma
     return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
 
@@ -284,10 +452,15 @@ class ImagePipeline:
         align_long_axis: bool = False,
         fill: int = 255,
         seed: Optional[int] = None,
+        normalize: bool = True,
     ):
         self.name = name
         self.image_size = tuple(image_size)
         self.training = training
+        # normalize=False emits uint8 (H, W, C): the host half of the
+        # device_preprocess split (ops/preprocess.py normalizes on device,
+        # fused into the encoder program, with a 4x smaller H2D transfer)
+        self.normalize = normalize
         self.mean = image_mean if isinstance(image_mean, (tuple, list)) else (image_mean,)
         self.std = image_std if isinstance(image_std, (tuple, list)) else (image_std,)
         self.interpolation = interpolation
@@ -295,8 +468,12 @@ class ImagePipeline:
         self.align_long_axis = align_long_axis
         self.fill = fill
         self._seed = seed
+        import collections
         import threading
 
+        # per-op application counts across all samples/threads (approximate
+        # under concurrency; used by distribution-parity tests)
+        self.op_counts = collections.Counter()
         self._tl = threading.local()
         self._salt_lock = threading.Lock()
         self._next_salt = 0
@@ -328,8 +505,23 @@ class ImagePipeline:
             pil = pil.resize(
                 (self.image_size[1], self.image_size[0]), _interp_flag(self.interpolation)
             )
-            return _as_float_normalized(np.asarray(pil), self.mean, self.std)
+            return self._finish(np.asarray(pil))
         return self._document_pipeline(x)
+
+    def _finish(self, x: np.ndarray) -> np.ndarray:
+        if not self.normalize:
+            if x.ndim == 2:
+                x = x[:, :, None]
+            return np.ascontiguousarray(x, dtype=np.uint8)
+        return _as_float_normalized(x, self.mean, self.std)
+
+    def _apply(self, gate_p: float, rng, name: str, x, fn):
+        """RandomApply: fire with probability ``gate_p``, count applications
+        (the distribution-parity test reads ``op_counts``)."""
+        if rng.rand() < gate_p:
+            self.op_counts[name] += 1
+            return fn(x)
+        return x
 
     def _document_pipeline(self, x: np.ndarray) -> np.ndarray:
         rng = self.rng
@@ -338,44 +530,117 @@ class ImagePipeline:
         if self.align_long_axis:
             x = align_long_axis(x, self.image_size)
 
-        if self.training:
-            # resize FIRST (reference pipeline order), with jitter applied at
-            # the reference's probabilities (random_scale/aspect_prob=0.05 —
-            # not every sample)
-            scale = float(rng.uniform(0.85, 1.04)) if rng.rand() < 0.05 else 1.0
-            ratio = (
-                float(np.exp(rng.uniform(np.log(0.9), np.log(1.11))))
-                if rng.rand() < 0.05
-                else 1.0
-            )
-            x = resize_keep_ratio(x, self.image_size, self.interpolation, scale, ratio)
-            # small-probability distortions at canvas resolution (applying
-            # them pre-resize would average them away and cost megapixel cv2)
-            if rng.rand() < 0.03:
-                x = bitmap(x)
-            if rng.rand() < 0.02:
-                x = erosion(x)
-            if rng.rand() < 0.02:
-                x = dilation(x)
-            if rng.rand() < 0.05:
-                x = affine(x, rng, fill=self.fill)
-            if rng.rand() < 0.03:
-                x = elastic(x, rng, fill=self.fill)
-            if rng.rand() < 0.05:
-                x = brightness_contrast(x, rng)
-            if rng.rand() < 0.03:
-                x = gaussian_blur(x, rng)
-            if self.name == "nougat":
-                if rng.rand() < 0.03:
-                    x = jpeg_compression(x, rng)
-                if rng.rand() < 0.03:
-                    x = gaussian_noise(x, rng)
-            x = random_pad(x, self.image_size, rng, fill=self.fill, random_placement=True)
-        else:
+        if not self.training:
             x = resize_keep_ratio(x, self.image_size, self.interpolation)
             x = center_crop_or_pad(x, self.image_size, fill=self.fill)
+            return self._finish(x)
 
-        return _as_float_normalized(x, self.mean, self.std)
+        if self.name == "nougat":
+            x = self._nougat_train(x, rng)
+        else:
+            x = self._better_train(x, rng)
+        return self._finish(x)
+
+    def _better_train(self, x: np.ndarray, rng) -> np.ndarray:
+        """Reference 'better' train ops in order, exact probabilities and
+        magnitudes (``/root/reference/src/pixparse/data/transforms.py:100-158``)."""
+        fill = self.fill
+        # ResizeKeepRatio(longest=1, random_scale_prob=.05 (0.85, 1.04),
+        # random_aspect_prob=.05 (0.9, 1.11))
+        scale = float(rng.uniform(0.85, 1.04)) if rng.rand() < 0.05 else 1.0
+        ratio = float(rng.uniform(0.9, 1.11)) if rng.rand() < 0.05 else 1.0
+        x = resize_keep_ratio(x, self.image_size, self.interpolation, scale, ratio)
+        x = self._apply(0.05, rng, "bitmap", x, bitmap)
+        # RandomChoice(Erosion(3) | Dilation(3)) at p=.02
+        x = self._apply(
+            0.02, rng, "morph", x,
+            lambda v: erosion(v, 3) if rng.rand() < 0.5 else dilation(v, 3),
+        )
+        # RandomAffine(degrees=0, shear=(0, 3, -3, 0))
+        x = self._apply(
+            0.05, rng, "shear", x,
+            lambda v: tv_affine(
+                v, shear=(rng.uniform(0, 3.0), rng.uniform(-3.0, 0)), fill=fill
+            ),
+        )
+        # RandomAffine(degrees=3, translate=(0, 0.04)): tx from 0*w, ty from .04*h
+        x = self._apply(
+            0.05, rng, "rotate_translate", x,
+            lambda v: tv_affine(
+                v,
+                angle=rng.uniform(-3.0, 3.0),
+                translate=(
+                    0,
+                    int(round(rng.uniform(-0.04, 0.04) * v.shape[0]))
+                ),
+                fill=fill,
+            ),
+        )
+        x = self._apply(
+            0.05, rng, "elastic", x,
+            lambda v: elastic(v, rng, alpha=50.0, sigma=12.0, fill=fill),
+        )
+        x = self._apply(0.05, rng, "color_jitter", x, lambda v: color_jitter(v, rng, 0.1, 0.1))
+        x = self._apply(
+            0.05, rng, "blur", x, lambda v: gaussian_blur(v, rng, (0.1, 0.5), ksize=3)
+        )
+        x = random_pad(x, self.image_size, rng, fill=fill, random_placement=True)
+        return _center_crop(x, self.image_size)
+
+    def _nougat_train(self, x: np.ndarray, rng) -> np.ndarray:
+        """Reference 'nougat' train ops: resize + RandomPad FIRST, then the
+        albumentations sequence (``transforms.py:196-243``). Probabilities and
+        magnitudes match the reference; geometry ops use cv2 equivalents of
+        the alb ops (ellipse morphology kernels, ShiftScaleRotate,
+        GridDistortion, affine-pre-warped elastic)."""
+        fill = self.fill
+        x = resize_keep_ratio(x, self.image_size, self.interpolation)
+        x = random_pad(x, self.image_size, rng, fill=fill, random_placement=True)
+        x = self._apply(0.05, rng, "bitmap", x, bitmap)
+        # alb.OneOf([ErosionAlb((2,3)), DilationAlb((2,3))], p=.02)
+        x = self._apply(
+            0.02, rng, "morph", x,
+            lambda v: erosion(v, (2, 3), rng) if rng.rand() < 0.5 else dilation(v, (2, 3), rng),
+        )
+        # alb.Affine(shear x (0,3), y (-3,0), cval=255)
+        x = self._apply(
+            0.03, rng, "shear", x,
+            lambda v: tv_affine(
+                v, shear=(rng.uniform(0, 3.0), rng.uniform(-3.0, 0)), fill=fill
+            ),
+        )
+        x = self._apply(
+            0.03, rng, "shift_scale_rotate", x,
+            lambda v: shift_scale_rotate(v, rng, fill=fill),
+        )
+        x = self._apply(
+            0.04, rng, "grid_distortion", x,
+            lambda v: grid_distortion(v, rng, fill=fill),
+        )
+        # alb.Compose([Affine(translate_px=(0,5)), Elastic(50, 12, 1.2)], p=.04)
+        x = self._apply(
+            0.04, rng, "elastic", x,
+            lambda v: elastic(
+                tv_affine(
+                    v,
+                    translate=(int(rng.randint(0, 6)), int(rng.randint(0, 6))),
+                    fill=fill,
+                ),
+                rng, alpha=50.0, sigma=12.0, alpha_affine=1.2, fill=fill,
+                interpolation=1,  # alb elastic default INTER_LINEAR
+            ),
+        )
+        x = self._apply(
+            0.03, rng, "brightness_contrast", x,
+            lambda v: brightness_contrast(v, rng, 0.1, 0.1),
+        )
+        x = self._apply(0.07, rng, "jpeg", x, lambda v: jpeg_compression(v, rng))
+        x = self._apply(0.08, rng, "noise", x, lambda v: gaussian_noise(v, rng))
+        x = self._apply(
+            0.03, rng, "blur", x,
+            lambda v: gaussian_blur(v, rng, sigma_range=None, ksize=3),
+        )
+        return x
 
 
 def create_transforms(
@@ -389,10 +654,12 @@ def create_transforms(
     align_long_axis: bool = False,
     fill: int = 255,
     seed: Optional[int] = None,
+    normalize: bool = True,
 ) -> ImagePipeline:
     """Factory (parity: reference ``data/transforms.py:27-55``): 'legacy'
     (resize+normalize), 'better' (torchvision-equivalent doc pipeline),
-    'nougat' (adds compression/noise distortions)."""
+    'nougat' (adds compression/noise distortions). ``normalize=False`` keeps
+    uint8 output for the on-device normalize path (ops/preprocess.py)."""
     assert name in ("legacy", "better", "nougat"), f"unknown transform set {name}"
     return ImagePipeline(
         name=name,
@@ -405,4 +672,5 @@ def create_transforms(
         align_long_axis=align_long_axis,
         fill=fill,
         seed=seed,
+        normalize=normalize,
     )

@@ -46,9 +46,12 @@ class TaskTrainCfg:
     dtype: Optional[str] = None  # compute dtype: 'bfloat16'/'bf16'/'float16'/None(fp32)
     amp: bool = True  # kept for flag parity; TPU path = bf16 compute policy
     remat: Optional[bool] = None  # None = auto (on for large models); force with true/false
-    attn_impl: str = "auto"  # 'auto' (flash on TPU) | 'xla' | 'flash' 
+    attn_impl: str = "auto"  # 'auto' (flash on TPU) | 'xla' | 'flash'
     model_name: str = ""
     mesh: MeshCfg = field(default_factory=MeshCfg)
+    # ship uint8 images host->device (4x smaller transfer) and fuse the
+    # normalize into the train step (ops/preprocess.py normalize_images)
+    device_preprocess: bool = False
 
 
 @dataclass
@@ -57,3 +60,6 @@ class TaskEvalCfg:
     amp: bool = True
     model_name: str = ""
     mesh: MeshCfg = field(default_factory=MeshCfg)
+    # ship uint8 canvas images host->device (4x smaller transfer) and fuse
+    # the normalize into the encoder program (ops/preprocess.py)
+    device_preprocess: bool = False

@@ -64,6 +64,21 @@ def resize_pad_normalize(
     return (x - mean_a) / std_a
 
 
+@jax.jit
+def normalize_images(
+    images: jax.Array,  # (B, H, W, C) uint8 or float
+    mean: jax.Array,
+    std: jax.Array,
+) -> jax.Array:
+    """Fused uint8 -> normalized float32. The device half of the eval
+    ``device_preprocess`` split: the host ships canvas-sized uint8 batches
+    (4x smaller H2D) and this fuses into the encoder program."""
+    x = images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
+    std = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
+    return (x - mean) / std
+
+
 @functools.partial(jax.jit, static_argnames=("patch_size",))
 def patchify(images: jax.Array, patch_size: int) -> jax.Array:
     """(B, H, W, C) -> (B, N, p*p*C), identical pixel order to the ViT patch

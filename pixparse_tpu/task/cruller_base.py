@@ -160,12 +160,16 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
             stats["mean"], stats["std"], cfg.model.image_encoder.image_fmt
         )
         transforms_name = getattr(cfg, "transforms", None) or "legacy"
+        # device_preprocess: host emits uint8, normalize fuses into the train
+        # step (4x smaller host->device transfer; same math)
+        self.device_preprocess = bool(getattr(cfg, "device_preprocess", False))
         self.image_preprocess_train = create_transforms(
             transforms_name,
             image_size=self.vit_cfg.img_size,
             training=True,
             image_mean=self.img_mean,
             image_std=self.img_std,
+            normalize=not self.device_preprocess,
         )
         self.resume_state_dict = None
         self._time_last = None
@@ -268,11 +272,19 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
                 )
 
         model = self.model
+        device_pre = self.device_preprocess
+        img_mean = jnp.asarray(self.img_mean, jnp.float32)
+        img_std = jnp.asarray(self.img_std, jnp.float32)
 
         def loss_fn(params, batch, rng):
+            image = batch["image"]
+            if device_pre and image.dtype == jnp.uint8:
+                from pixparse_tpu.ops.preprocess import normalize_images
+
+                image = normalize_images(image, img_mean, img_std)
             hidden = model.apply(
                 {"params": params},
-                batch["image"],
+                image,
                 batch["text"],
                 deterministic=False,
                 rngs={"dropout": rng},
@@ -329,7 +341,9 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         if isinstance(sample, (tuple, list)):
             image, text, target = sample[:3]
             sample = {"image": image, "text": text, "target": target}
-        image = np.asarray(sample["image"], np.float32)
+        image = np.asarray(sample["image"])
+        if not (self.device_preprocess and image.dtype == np.uint8):
+            image = image.astype(np.float32)
         text = np.asarray(sample.get("text", sample.get("label")), np.int64)
         target = np.asarray(sample.get("target", sample.get("text_target")), np.int64)
         if text.ndim == 3:  # (B, 1, L) page dimension from ocr anno preproc
@@ -421,6 +435,10 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
 
             n = min(4, batch["image"].shape[0])  # small slice: monitoring only
             images = batch["image"][:n]
+            if images.dtype == np.uint8:  # device_preprocess batches
+                mean = np.asarray(self.img_mean, np.float32).reshape(1, 1, 1, -1)
+                std = np.asarray(self.img_std, np.float32).reshape(1, 1, 1, -1)
+                images = (images.astype(np.float32) / 255.0 - mean) / std
             text = restore_ignored(batch["text"][:n], self.tokenizer.pad_token_id)
             max_len = max_target_length(text, self.tokenizer.pad_token_id, 256)
             prompt_ids = self.tokenizer(
@@ -500,16 +518,22 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
         self.img_mean, self.img_std = fold_image_stats(
             stats["mean"], stats["std"], cfg.model.image_encoder.image_fmt
         )
+        self.device_preprocess = bool(getattr(cfg, "device_preprocess", False))
+        # device_preprocess: the host pipeline does geometry only and emits
+        # uint8 canvases; normalize runs on device fused into the encoder
+        # (ops/preprocess.py). Same math, 4x smaller H2D transfer.
         self.image_preprocess_eval = create_transforms(
             getattr(cfg, "transforms", None) or "legacy",
             image_size=self.vit_cfg.img_size,
             training=False,
             image_mean=self.img_mean,
             image_std=self.img_std,
+            normalize=not self.device_preprocess,
         )
         self.resume_state_dict = None
         self.model: Optional[Cruller] = None
         self.params = None
+        self._encode_fn = None
 
     def prepare_image(self, img) -> np.ndarray:
         from PIL import Image
@@ -551,12 +575,21 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
             )
 
     def _shard_eval_batch(self, *arrays):
-        """Batch-shard eval inputs over the mesh when the batch divides the
-        data axes; single-device otherwise (ragged final eval batches)."""
+        """Batch-shard eval inputs over the mesh. Ragged batches (the final
+        partial batch of an eval epoch) are padded up to the next multiple of
+        the data-axes shard count by repeating the last row, so decode stays
+        sharded over every chip instead of falling back to one device;
+        callers slice results back to the true batch size."""
         n_shard = int(np.prod(self.device_env.mesh.devices.shape[:2]))
         B = arrays[0].shape[0]
-        if B % n_shard:
-            return [jnp.asarray(a) for a in arrays]
+        pad = (-B) % n_shard
+        if pad:
+            arrays = [
+                np.concatenate(
+                    [np.asarray(a), np.repeat(np.asarray(a)[-1:], pad, axis=0)]
+                )
+                for a in arrays
+            ]
         placed = self.device_env.shard_batch(
             {i: np.asarray(a) for i, a in enumerate(arrays)}
         )
@@ -564,9 +597,22 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
 
     # ------------------------------------------------------------------
     def encode_images(self, images) -> jax.Array:
-        return self.model.apply(
-            {"params": self.params}, jnp.asarray(images), method="encode"
-        )
+        """One jitted program: (optional fused uint8 normalize ->) encoder."""
+        if self._encode_fn is None:
+            model = self.model
+            mean = jnp.asarray(self.img_mean, jnp.float32)
+            std = jnp.asarray(self.img_std, jnp.float32)
+            device_pre = self.device_preprocess
+
+            def _encode(params, images):
+                if device_pre and images.dtype == jnp.uint8:
+                    from pixparse_tpu.ops.preprocess import normalize_images
+
+                    images = normalize_images(images, mean, std)
+                return model.apply({"params": params}, images, method="encode")
+
+            self._encode_fn = jax.jit(_encode)
+        return self._encode_fn(self.params, jnp.asarray(images))
 
     num_beams: int = 1  # >1 switches every eval decode to jitted beam search
 
@@ -583,6 +629,7 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
             return self._generate_ids_inner(images, prompt_ids, max_length)
 
     def _generate_ids_inner(self, images, prompt_ids, max_length):
+        B = np.asarray(images).shape[0]
         images, prompt_ids = self._shard_eval_batch(
             np.asarray(images), np.asarray(prompt_ids, np.int32)
         )
@@ -600,7 +647,7 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
                 eos_token_id=self.tokenizer.eos_token_id,
                 pad_token_id=self.tokenizer.pad_token_id,
             )
-            return np.asarray(result.tokens)
+            return np.asarray(result.tokens)[:B]
         result = generate(
             self.model,
             self.params,
@@ -610,7 +657,7 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
             eos_token_id=self.tokenizer.eos_token_id,
             pad_token_id=self.tokenizer.pad_token_id,
         )
-        return np.asarray(result.tokens)
+        return np.asarray(result.tokens)[:B]
 
     def generate_text(self, images, prompt_ids, max_length=None) -> List[str]:
         tokens = self.generate_ids(images, prompt_ids, max_length)

@@ -3,10 +3,10 @@
 
 Runs the *published* HF Donut model (``naver-clova-ix/donut-base-finetuned-
 cord-v2``) through the same eval harness/metrics so Cruller numbers have an
-external reference point (SURVEY.md §4). This is explicitly an external-
-baseline task: it needs the ``transformers``+``torch`` inference stack and hub
-weights, so it is import-gated and raises a clear error in offline
-environments rather than being silently dropped.
+external reference point (SURVEY.md §4). Model/processor loading goes through
+the ``_load_hf`` hook: production resolves the hub name (or a local path);
+tests inject a locally-constructed tiny ``VisionEncoderDecoderModel`` so the
+full step/metrics path runs offline (``tests/test_donut_eval.py``).
 """
 
 from __future__ import annotations
@@ -42,20 +42,28 @@ class TaskDonutEvalOCR(TaskEval):
 
     def __init__(self, cfg: TaskDonutEvalOCRCfg, device_env, monitor=None):
         super().__init__(cfg, device_env, monitor)
-        try:
-            from transformers import DonutProcessor, VisionEncoderDecoderModel
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError(
-                "donut_eval_ocr needs the transformers inference stack"
-            ) from e
-        self.processor = DonutProcessor.from_pretrained(cfg.model_name)
-        self.model = VisionEncoderDecoderModel.from_pretrained(cfg.model_name)
+        self.processor, self.model = self._load_hf(cfg.model_name)
         self.model.eval()
         self.task_prompt = "<s_cord-v2>"
         # the eval pipe calls anno_preprocess(anno); the baseline needs the
         # RAW page text as reference (no tokenization)
         self.anno_preprocess_eval = self._raw_text_anno
         self.image_preprocess_eval = lambda img: img  # processor handles it
+
+    @staticmethod
+    def _load_hf(model_name: str):
+        """Load the HF processor+model (hub name or local path). Split out so
+        tests can inject a locally-constructed tiny model (no hub access)."""
+        try:
+            from transformers import DonutProcessor, VisionEncoderDecoderModel
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "donut_eval_ocr needs the transformers inference stack"
+            ) from e
+        return (
+            DonutProcessor.from_pretrained(model_name),
+            VisionEncoderDecoderModel.from_pretrained(model_name),
+        )
 
     @staticmethod
     def _raw_text_anno(anno):
@@ -93,6 +101,7 @@ class TaskDonutEvalOCR(TaskEval):
             decoder_input_ids = self.processor.tokenizer(
                 self.task_prompt, add_special_tokens=False, return_tensors="pt"
             ).input_ids
+            unk = self.processor.tokenizer.unk_token_id
             with torch.inference_mode():
                 outputs = self.model.generate(
                     pixel_values,
@@ -101,7 +110,10 @@ class TaskDonutEvalOCR(TaskEval):
                     pad_token_id=self.processor.tokenizer.pad_token_id,
                     eos_token_id=self.processor.tokenizer.eos_token_id,
                     use_cache=True,
-                    bad_words_ids=[[self.processor.tokenizer.unk_token_id]],
+                    # reference passes this unconditionally
+                    # (task_donut_eval_ocr.py:139); tokenizers without an unk
+                    # token (e.g. byte-level) must skip it
+                    bad_words_ids=[[unk]] if unk is not None else None,
                 )
             seq = self.processor.batch_decode(outputs)[0]
             seq = seq.replace(self.processor.tokenizer.eos_token, "").replace(

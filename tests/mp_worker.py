@@ -13,9 +13,12 @@ def main():
     process_id = int(sys.argv[1])
     num_processes = int(sys.argv[2])
     port = sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "basic"
+    shard_dir = sys.argv[5] if len(sys.argv) > 5 else None
 
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    n_local = 4 if num_processes <= 2 else 2
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
 
     import jax
 
@@ -34,7 +37,12 @@ def main():
 
     env = MeshEnv.initialize()
     assert env.process_count == num_processes, env.process_count
-    assert env.num_devices == 4 * num_processes, env.num_devices
+    assert env.num_devices == n_local * num_processes, env.num_devices
+
+    if mode == "data":
+        _data_plane(env, process_id, num_processes, shard_dir)
+        print(f"proc {process_id}: OK", flush=True)
+        return
 
     # host-object broadcast: rank0's name reaches everyone
     name = env.broadcast_object(f"exp-{process_id}" if process_id == 0 else None)
@@ -56,6 +64,72 @@ def main():
     assert got == expected, (got, expected)
 
     print(f"proc {process_id}: OK", flush=True)
+
+
+def _data_plane(env, process_id, num_processes, shard_dir):
+    """VERDICT r1 item 10: per-host wds shard split with UNEVEN shard counts
+    (6 shards over 4 hosts), full-coverage eval pass, global batch assembly
+    via make_array_from_process_local_data, weighted/summed metric merge."""
+    import glob
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pixparse_tpu.app.eval import _merge_metric_trees
+    from pixparse_tpu.data.wds import WdsLoader
+
+    shards = sorted(glob.glob(os.path.join(shard_dir, "*.tar")))
+    assert len(shards) % num_processes != 0, "test wants an uneven split"
+
+    loader = WdsLoader(
+        shards=shards,
+        decoder=lambda s: {"key": s["__key__"]},
+        batch_size=2,
+        is_train=False,
+        num_batches=10**6,  # eval: one pass, stream just ends
+        world_size=env.world_size,
+        global_rank=env.global_rank,
+        num_workers=1,
+        collate_fn=lambda samples: {"key": [s["key"] for s in samples]},
+    )
+    seen = [k for batch in loader for k in batch["key"]]
+
+    # disjoint stripes covering every sample exactly once
+    gathered = env.all_gather_object(seen)
+    assert len(gathered) == num_processes
+    flat = [k for g in gathered for k in g]
+    assert len(flat) == len(set(flat)), "hosts saw overlapping samples"
+    all_keys = set()
+    for sh in shards:
+        import tarfile
+
+        with tarfile.open(sh) as tf:
+            all_keys |= {m.name.split(".")[0] for m in tf.getmembers()}
+    assert set(flat) == all_keys, (sorted(set(flat)), sorted(all_keys))
+    # uneven: at least two hosts got different sample counts
+    sizes = sorted(len(g) for g in gathered)
+    assert sizes[0] != sizes[-1]
+
+    # per-host metric merge: count-like keys summed, ratio keys averaged
+    local_metrics = {"cer": 0.1 * (process_id + 1), "num_samples": len(seen)}
+    merged = _merge_metric_trees(env.all_gather_object(local_metrics))
+    assert merged["num_samples"] == len(flat), merged
+    expect_cer = sum(0.1 * (r + 1) for r in range(num_processes)) / num_processes
+    assert abs(merged["cer"] - expect_cer) < 1e-9, merged
+
+    # global batch assembly from per-host slices + jitted global reduction
+    local = np.full((4, 2), float(process_id + 1), np.float32)
+    batch = env.shard_batch({"x": local})
+    assert batch["x"].shape[0] == 4 * num_processes
+    total = jax.jit(
+        lambda b: jnp.sum(b["x"]),
+        out_shardings=NamedSharding(env.mesh, P()),
+    )(batch)
+    expected = sum(8.0 * (r + 1) for r in range(num_processes))
+    got = float(jax.device_get(total))
+    assert got == expected, (got, expected)
 
 
 if __name__ == "__main__":

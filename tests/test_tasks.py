@@ -317,9 +317,74 @@ def test_eval_generation_sharded_matches_single_device():
     bos = np.zeros((8, 1), np.int32)
     sharded = task.generate_ids(images, bos, 12)
 
-    # odd batch: falls back to single-device placement, same code path output
+    # ragged batch: padded to the shard multiple (NOT a single-device
+    # fallback), padding rows dropped from the result
     single = task.generate_ids(images[:3], bos[:3], 12)
+    assert single.shape[0] == 3
     np.testing.assert_array_equal(sharded[:3], single)
+
+    # padding must actually shard: a 13-row batch pads to 16 over 8 devices
+    images13 = np.concatenate([images, images[:5]])
+    bos13 = np.zeros((13, 1), np.int32)
+    out13 = task.generate_ids(images13, bos13, 12)
+    assert out13.shape[0] == 13
+    np.testing.assert_array_equal(out13[:8], sharded)
+    placed = task._shard_eval_batch(images13, bos13)
+    assert placed[0].shape[0] == 16
+    assert len(placed[0].sharding.device_set) == 8
+
+
+def test_train_device_preprocess_matches_host_pipeline():
+    """Train device_preprocess: uint8 batches + in-step fused normalize give
+    the same loss as host-normalized float batches."""
+    from pixparse_tpu.task import TaskCrullerPretrain, TaskCrullerPretrainCfg
+
+    env = _env()
+    host = TaskCrullerPretrain(_task_cfg(TaskCrullerPretrainCfg), env, None)
+    dev = TaskCrullerPretrain(
+        _task_cfg(TaskCrullerPretrainCfg, device_preprocess=True), env, None
+    )
+    host.train_setup(num_batches_per_interval=2, seed=7)
+    dev.train_setup(num_batches_per_interval=2, seed=7)
+
+    rng = np.random.RandomState(0)
+    L = host.max_position_embeddings
+    img8 = rng.randint(0, 256, (8, 64, 48, 1), np.uint8)
+    mean = np.asarray(host.img_mean, np.float32).reshape(1, 1, 1, -1)
+    std = np.asarray(host.img_std, np.float32).reshape(1, 1, 1, -1)
+    imgf = (img8.astype(np.float32) / 255.0 - mean) / std
+    text = rng.randint(4, 200, (8, L)).astype(np.int64)
+    target = rng.randint(4, 200, (8, L)).astype(np.int64)
+
+    loss_h = float(host.train_step({"image": imgf, "text": text, "target": target})["loss"])
+    loss_d = float(dev.train_step({"image": img8, "text": text, "target": target})["loss"])
+    assert loss_h == pytest.approx(loss_d, rel=1e-6)
+
+
+def test_eval_device_preprocess_matches_host_pipeline():
+    """device_preprocess=True: host emits uint8 canvases, normalize fuses
+    into the encoder (ops/preprocess.normalize_images) — decoded tokens must
+    be identical to the host-normalized path."""
+    from pixparse_tpu.task import TaskCrullerEvalOCR, TaskCrullerEvalOCRCfg
+
+    env = _env()
+    host = TaskCrullerEvalOCR(_task_cfg(TaskCrullerEvalOCRCfg), env, None)
+    dev = TaskCrullerEvalOCR(
+        _task_cfg(TaskCrullerEvalOCRCfg, device_preprocess=True), env, None
+    )
+    host.setup()
+    dev.setup()  # both init from PRNGKey(0): identical params
+
+    img = _pil_image(90, 70)
+    a = host.prepare_image(img)
+    b = dev.prepare_image(img)
+    assert a.dtype == np.float32 and b.dtype == np.uint8
+    assert a.shape == b.shape
+
+    bos = np.zeros((8, 1), np.int32)
+    toks_host = host.generate_ids(np.stack([a] * 8), bos, 10)
+    toks_dev = dev.generate_ids(np.stack([b] * 8), bos, 10)
+    np.testing.assert_array_equal(toks_host, toks_dev)
 
 
 def test_pix2struct_pretrain_task_end_to_end():
