@@ -21,6 +21,10 @@ def _run_workers(num_procs: int, mode: str = "basic", shard_dir: str = ""):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "mp_worker.py")
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # workers must import pixparse_tpu from the repo even when it isn't
+    # pip-installed (script-path invocation puts tests/, not the root, on
+    # sys.path)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(rank), str(num_procs), port, mode, shard_dir],
@@ -57,6 +61,7 @@ def test_two_process_mesh_env():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "mp_worker.py")
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(rank), "2", port],
