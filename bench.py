@@ -107,7 +107,7 @@ def bench_train_synthetic(model_name, batch_size, text_len, steps, warmup, dtype
     from pixparse_tpu.framework.train_state import create_train_state, make_train_step
     from pixparse_tpu.models.config import get_model_config
     from pixparse_tpu.models.cruller import Cruller, resolve_cruller_cfgs
-    from pixparse_tpu.ops.loss import chunked_cross_entropy_from_hidden
+    from pixparse_tpu.ops.loss import cross_entropy_from_hidden
     from pixparse_tpu.parallel.mesh import create_mesh, shard_batch
 
     cfg = get_model_config(model_name)
@@ -137,7 +137,7 @@ def bench_train_synthetic(model_name, batch_size, text_len, steps, warmup, dtype
             deterministic=False, rngs={"dropout": rng},
             method="forward_hidden",
         )
-        loss, _ = chunked_cross_entropy_from_hidden(
+        loss, _ = cross_entropy_from_hidden(
             hidden,
             params["text_decoder"]["embed_tokens"]["embedding"].astype(hidden.dtype),
             batch["target"],

@@ -141,7 +141,13 @@ def make_train_step(
     batch poisons the run)."""
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
-        step_rng = jax.random.fold_in(state.rng, state.step)
+        # derive the per-step key with threefry (strong, stable across
+        # backends for checkpoint identity), then hand the model an rbg key:
+        # dropout masks over (B, L, 4D) activations via threefry cost ~10 ms
+        # of xor-chain VPU fusions per cruller_base step; RngBitGenerator is
+        # near-free and still deterministic per (seed, step)
+        base_rng = jax.random.fold_in(state.rng, state.step)
+        step_rng = jax.random.wrap_key_data(jnp.tile(base_rng, 2), impl="rbg")
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, step_rng
         )

@@ -13,11 +13,29 @@ Kernel design (per pallas_guide.md):
 - forward: grid (batch*heads, q_blocks, k_blocks), k minor; each (bh, qi)
   accumulates in VMEM scratch, writes its output tile + logsumexp row on the
   last k step.
-- backward dq: same grid; recomputes p tile from q, k and the saved lse.
+- backward dq: same grid; recomputes p from q, k and the saved lse.
 - backward dk/dv: grid (batch*heads, k_blocks, q_blocks), q minor, so each
   (bh, ki) accumulates dk/dv across q tiles.
-- head_dim zero-padded to the 128 lane width; sequence lengths padded to
-  block multiples with -inf key masking; fp32 accumulation on the MXU.
+- head_dim is NOT padded: a block lane dim equal to the array dim is legal
+  Mosaic tiling, and padding 64 -> 128 would double both the QK~PV matmul
+  work and the HBM traffic (measured 2x kernel time at cruller head_dim 64).
+- every matmul takes bf16 operands with fp32 MXU accumulation
+  (``preferred_element_type``); fp32 operands would fall off the bf16 MXU
+  fast path (measured ~2x backward cost).
+- causal tiles are classified per grid step: fully-masked tiles skip all
+  compute, fully-visible tiles skip the mask, only diagonal-crossing tiles
+  pay the 2D iota+select. Key-padding masking is a lane-broadcast bias row,
+  applied only when the padded length differs (static).
+- when one k-block covers the whole key length (every cruller/donut site:
+  L <= 1024), a single-block fast path skips the online-softmax machinery
+  entirely — no m/l/acc scratch round trips, softmax normalization applied
+  to the (block_q, D) output instead of the (block_q, block_k) p tile
+  (measured ~25% kernel-time saving; the tiles are VMEM-bandwidth-bound).
+- ``delta = sum(do * o)`` is precomputed once outside (XLA fuses it), not
+  per k-tile inside the kernels; lse/delta ride in 8-lane arrays rather than
+  broadcast across a full 128-lane tile.
+- batch*heads and the non-accumulating sequence dim are declared
+  ``parallel`` so Mosaic may reorder/pipeline them.
 - runs in interpreter mode automatically on CPU (tests).
 """
 
@@ -31,10 +49,17 @@ from jax.experimental import pallas as pl
 
 NEG_INF = -1e30
 LANES = 128
+STAT_LANES = 8  # lse/delta lane width (sublane-aligned, 16x less traffic than 128)
 
 
 def _interpret() -> bool:
     return jax.devices()[0].platform == "cpu"
+
+
+def _compiler_params(*semantics):
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(dimension_semantics=tuple(semantics))
 
 
 def _pad_to(x, size, axis):
@@ -46,17 +71,73 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
+def _tail_bias(ki, block_q, block_k, kv_len):
+    """(1, block_k) additive 0/-inf row masking key positions >= kv_len."""
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    return jnp.where(col < kv_len, 0.0, NEG_INF)
+
+
+def _causal_mask(qi, ki, block_q, block_k, off):
+    """Bottom-right-aligned causal tile mask: query i at absolute key
+    position i + off (matches the XLA path for Lq != Lk)."""
+    row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    return col <= row + off
+
+
+def _tile_classes(qi, ki, block_q, block_k, off):
+    """(fully_masked, fully_visible) for the causal pattern."""
+    first_col = ki * block_k
+    last_col = first_col + block_k - 1
+    first_row_limit = qi * block_q + off
+    last_row_limit = qi * block_q + block_q - 1 + off
+    return first_col > last_row_limit, last_col <= first_row_limit
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
+def _fwd_kernel_single(
+    q_ref, k_ref, v_ref,  # (1, block, D)
+    o_ref,  # (1, block_q, D)
+    lse_ref,  # (1, block_q, STAT_LANES)
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+):
+    """One k-block covers the full key length: plain softmax, no scratch."""
+    qi = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if kv_pad:
+        s = s + _tail_bias(0, block_q, block_k, kv_len)
+    if causal:
+        s = jnp.where(
+            _causal_mask(qi, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
+        )
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m).astype(v_ref.dtype)
+    l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    o = jax.lax.dot_general(
+        p, v_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / safe_l).astype(o_ref.dtype)
+    lse = jnp.where(l > 0.0, m + jnp.log(safe_l), NEG_INF)
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
 def _fwd_kernel(
-    q_ref, k_ref, v_ref,  # (1, block, Dp)
-    o_ref,  # (1, block_q, Dp)
-    lse_ref,  # (1, block_q, LANES) lane-broadcast (TPU tile constraints)
-    m_scratch, l_scratch,  # (block_q, LANES) f32
-    acc_scratch,  # (block_q, Dp) f32
-    *, scale, causal, block_q, block_k, kv_len, q_len,
+    q_ref, k_ref, v_ref,  # (1, block, D)
+    o_ref,  # (1, block_q, D)
+    lse_ref,  # (1, block_q, STAT_LANES)
+    m_scratch, l_scratch,  # (block_q, STAT_LANES) f32
+    acc_scratch,  # (block_q, D) f32
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -68,38 +149,50 @@ def _fwd_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
+    def body(masked):
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if kv_pad:
+            s = s + _tail_bias(ki, block_q, block_k, kv_len)
+        if masked:
+            s = jnp.where(
+                _causal_mask(qi, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
+            )
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        l_cur = jnp.sum(p, axis=1, keepdims=True)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + l_cur
+        acc = acc_scratch[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+        acc_scratch[:] = acc
 
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    mask = col < kv_len
     if causal:
-        # bottom-right alignment for Lq != Lk (matches the XLA path: query i
-        # sits at absolute key position i + kv_len - q_len)
-        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = mask & (col <= row + (kv_len - q_len))
-    s = jnp.where(mask, s, NEG_INF)
+        fully_masked, fully_visible = _tile_classes(
+            qi, ki, block_q, block_k, kv_len - q_len
+        )
 
-    m_prev = m_scratch[:, :1]
-    l_prev = l_scratch[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    l_cur = jnp.sum(p, axis=1, keepdims=True)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = l_prev * alpha + l_cur
-    acc = acc_scratch[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
-    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
-    acc_scratch[:] = acc
+        @pl.when(fully_visible)
+        def _clear():
+            body(False)
+
+        @pl.when(~fully_masked & ~fully_visible)
+        def _diag():
+            body(True)
+    else:
+        body(False)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -114,37 +207,56 @@ def _fwd_kernel(
 
 
 def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, q_len, out_dtype):
-    """(BH, Lq_p, Dp) inputs -> (o, lse)."""
+    """(BH, Lq_p, D) inputs -> (o, lse)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    BH, Lq_p, Dp = qb.shape
+    BH, Lq_p, D = qb.shape
     Lk_p = kb.shape[1]
-    grid = (BH, Lq_p // block_q, Lk_p // block_k)
-    kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, kv_len=kv_len, q_len=q_len,
+    kwargs = dict(
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        kv_len=kv_len, q_len=q_len, kv_pad=Lk_p != kv_len,
     )
+    out_shape = (
+        jax.ShapeDtypeStruct((BH, Lq_p, D), out_dtype),
+        jax.ShapeDtypeStruct((BH, Lq_p, STAT_LANES), jnp.float32),
+    )
+    if Lk_p == block_k:
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_single, **kwargs),
+            out_shape=out_shape,
+            grid=(BH, Lq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi: (bh, qi, 0)),
+            ),
+            compiler_params=_compiler_params("parallel", "parallel"),
+            interpret=_interpret(),
+        )(qb, kb, vb)
+    grid = (BH, Lq_p // block_q, Lk_p // block_k)
     return pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((BH, Lq_p, Dp), out_dtype),
-            jax.ShapeDtypeStruct((BH, Lq_p, LANES), jnp.float32),
-        ),
+        functools.partial(_fwd_kernel, **kwargs),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi, ki: (bh, qi, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, Dp), jnp.float32),
+            pltpu.VMEM((block_q, STAT_LANES), jnp.float32),
+            pltpu.VMEM((block_q, STAT_LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
         ],
+        compiler_params=_compiler_params("parallel", "parallel", "arbitrary"),
         interpret=_interpret(),
     )(qb, kb, vb)
 
@@ -153,11 +265,124 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, q_len, out
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+def _bwd_kernel_single(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+):
+    """nq == nk == 1 (every cruller/donut training site): one kernel for all
+    three grads — s/p/dp are computed once instead of once per dq and dk/dv
+    kernel (5 matmul passes vs 7, and q/k/v/do stream from HBM once)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if kv_pad:
+        s = s + _tail_bias(0, block_q, block_k, kv_len)
+    if causal:
+        s = jnp.where(
+            _causal_mask(0, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
+        )
+    lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
+    p = jnp.exp(s - lse).astype(do_ref.dtype)  # (block_q, block_k)
+    do = do_ref[0]
+    dv_ref[0] = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p.astype(jnp.float32) * (dp - delta_ref[0][:, :1]) * scale).astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+def _bwd_dq_kernel_single(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
-    dq_scratch,  # (block_q, Dp) f32
-    *, scale, causal, block_q, block_k, kv_len, q_len,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+):
+    """nk == 1: recompute p once and write dq directly, no accumulator."""
+    qi = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if kv_pad:
+        s = s + _tail_bias(0, block_q, block_k, kv_len)
+    if causal:
+        s = jnp.where(
+            _causal_mask(qi, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
+        )
+    lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
+    p = jnp.exp(s - lse)
+    do = do_ref[0]
+    dp = jax.lax.dot_general(
+        do, v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0][:, :1]) * scale
+    dq_ref[0] = jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_single(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+):
+    """nq == 1: single q block, write dk/dv directly, no accumulators."""
+    ki = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if kv_pad:
+        s = s + _tail_bias(ki, block_q, block_k, kv_len)
+    if causal:
+        s = jnp.where(
+            _causal_mask(0, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
+        )
+    lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
+    p = jnp.exp(s - lse).astype(do_ref.dtype)
+    do = do_ref[0]
+    dv_ref[0] = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p.astype(jnp.float32) * (dp - delta_ref[0][:, :1]) * scale).astype(q.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scratch,  # (block_q, D) f32
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -167,33 +392,50 @@ def _bwd_dq_kernel(
     def _init():
         dq_scratch[:] = jnp.zeros_like(dq_scratch)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    mask = col < kv_len
-    if causal:
-        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = mask & (col <= row + (kv_len - q_len))
-    s = jnp.where(mask, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # (block_q, block_k)
+    def body(masked):
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if kv_pad:
+            s = s + _tail_bias(ki, block_q, block_k, kv_len)
+        if masked:
+            s = jnp.where(
+                _causal_mask(qi, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
+            )
+        # clamp keeps fully-masked rows (lse == NEG_INF) at p == 0 instead of
+        # inf, so padding can never leak NaNs into the grads
+        lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
+        p = jnp.exp(s - lse)  # (block_q, block_k)
+        do = do_ref[0]
+        dp = jax.lax.dot_general(
+            do, v_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0][:, :1]) * scale
+        dq_scratch[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    do = do_ref[0].astype(jnp.float32)
-    delta = jnp.sum(do * o_ref[0].astype(jnp.float32), axis=1, keepdims=True)
-    dp = jax.lax.dot_general(
-        do, v_ref[0].astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta) * scale
-    dq_scratch[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if causal:
+        fully_masked, fully_visible = _tile_classes(
+            qi, ki, block_q, block_k, kv_len - q_len
+        )
+
+        @pl.when(fully_visible)
+        def _clear():
+            body(False)
+
+        @pl.when(~fully_masked & ~fully_visible)
+        def _diag():
+            body(True)
+    else:
+        body(False)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -201,10 +443,10 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
-    dk_scratch, dv_scratch,  # (block_k, Dp) f32
-    *, scale, causal, block_q, block_k, kv_len, q_len,
+    dk_scratch, dv_scratch,  # (block_k, D) f32
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
 ):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -215,37 +457,53 @@ def _bwd_dkv_kernel(
         dk_scratch[:] = jnp.zeros_like(dk_scratch)
         dv_scratch[:] = jnp.zeros_like(dv_scratch)
 
-    q = q_ref[0]  # (block_q, Dp)
-    k = k_ref[0]  # (block_k, Dp)
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    mask = col < kv_len
-    if causal:
-        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = mask & (col <= row + (kv_len - q_len))
-    s = jnp.where(mask, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # (block_q, block_k)
+    def body(masked):
+        q = q_ref[0]  # (block_q, D)
+        k = k_ref[0]  # (block_k, D)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if kv_pad:
+            s = s + _tail_bias(ki, block_q, block_k, kv_len)
+        if masked:
+            s = jnp.where(
+                _causal_mask(qi, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
+            )
+        lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
+        p = jnp.exp(s - lse).astype(do_ref.dtype)  # (block_q, block_k)
+        do = do_ref[0]
+        dv_scratch[:] += jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p.astype(jnp.float32) * (dp - delta_ref[0][:, :1]) * scale).astype(
+            q.dtype
+        )  # (block_q, block_k)
+        dk_scratch[:] += jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    do = do_ref[0].astype(jnp.float32)
-    delta = jnp.sum(do * o_ref[0].astype(jnp.float32), axis=1, keepdims=True)
-    dv_scratch[:] += jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v_ref[0].astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta) * scale  # (block_q, block_k)
-    dk_scratch[:] += jax.lax.dot_general(
-        ds, q.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if causal:
+        fully_masked, fully_visible = _tile_classes(
+            qi, ki, block_q, block_k, kv_len - q_len
+        )
+
+        @pl.when(fully_visible)
+        def _clear():
+            body(False)
+
+        @pl.when(~fully_masked & ~fully_visible)
+        def _diag():
+            body(True)
+    else:
+        body(False)
 
     @pl.when(qi == nq - 1)
     def _finalize():
@@ -253,67 +511,131 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
 
 
-def _bwd_flat(qb, kb, vb, ob, do, lse, *, scale, causal, block_q, block_k, kv_len, q_len):
+def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv_len, q_len):
     from jax.experimental.pallas import tpu as pltpu
 
-    BH, Lq_p, Dp = qb.shape
+    BH, Lq_p, D = qb.shape
     Lk_p = kb.shape[1]
+    kwargs = dict(
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        kv_len=kv_len, q_len=q_len, kv_pad=Lk_p != kv_len,
+    )
 
-    grid_q = (BH, Lq_p // block_q, Lk_p // block_k)
-    dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, kv_len=kv_len, q_len=q_len,
-        ),
-        out_shape=jax.ShapeDtypeStruct((BH, Lq_p, Dp), qb.dtype),
-        grid=grid_q,
-        in_specs=[
-            pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda bh, qi, ki: (bh, qi, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, Dp), lambda bh, qi, ki: (bh, qi, 0)),
-        scratch_shapes=[pltpu.VMEM((block_q, Dp), jnp.float32)],
-        interpret=_interpret(),
-    )(qb, kb, vb, do, ob, lse)
+    if Lq_p == block_q and Lk_p == block_k:
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_single, **kwargs),
+            out_shape=(
+                jax.ShapeDtypeStruct((BH, Lq_p, D), qb.dtype),
+                jax.ShapeDtypeStruct((BH, Lk_p, D), kb.dtype),
+                jax.ShapeDtypeStruct((BH, Lk_p, D), vb.dtype),
+            ),
+            grid=(BH,),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, D), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh: (bh, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, D), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh: (bh, 0, 0)),
+            ),
+            compiler_params=_compiler_params("parallel"),
+            interpret=_interpret(),
+        )(qb, kb, vb, do, lse, delta)
 
-    grid_k = (BH, Lk_p // block_k, Lq_p // block_q)
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, kv_len=kv_len, q_len=q_len,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((BH, Lk_p, Dp), kb.dtype),
-            jax.ShapeDtypeStruct((BH, Lk_p, Dp), vb.dtype),
-        ),
-        grid=grid_k,
-        in_specs=[
-            pl.BlockSpec((1, block_q, Dp), lambda bh, ki, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda bh, ki, qi: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda bh, ki, qi: (bh, ki, 0)),
-            pl.BlockSpec((1, block_q, Dp), lambda bh, ki, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q, Dp), lambda bh, ki, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda bh, ki, qi: (bh, qi, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_k, Dp), lambda bh, ki, qi: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda bh, ki, qi: (bh, ki, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_k, Dp), jnp.float32),
-            pltpu.VMEM((block_k, Dp), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(qb, kb, vb, do, ob, lse)
+    if Lk_p == block_k:
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel_single, **kwargs),
+            out_shape=jax.ShapeDtypeStruct((BH, Lq_p, D), qb.dtype),
+            grid=(BH, Lq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi: (bh, qi, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
+            compiler_params=_compiler_params("parallel", "parallel"),
+            interpret=_interpret(),
+        )(qb, kb, vb, do, lse, delta)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel, **kwargs),
+            out_shape=jax.ShapeDtypeStruct((BH, Lq_p, D), qb.dtype),
+            grid=(BH, Lq_p // block_q, Lk_p // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi, ki: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi, ki: (bh, qi, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+            compiler_params=_compiler_params("parallel", "parallel", "arbitrary"),
+            interpret=_interpret(),
+        )(qb, kb, vb, do, lse, delta)
+
+    dkv_out_shape = (
+        jax.ShapeDtypeStruct((BH, Lk_p, D), kb.dtype),
+        jax.ShapeDtypeStruct((BH, Lk_p, D), vb.dtype),
+    )
+    if Lq_p == block_q:
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_kernel_single, **kwargs),
+            out_shape=dkv_out_shape,
+            grid=(BH, Lk_p // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh, ki: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, block_q, D), lambda bh, ki: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki: (bh, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0)),
+            ),
+            compiler_params=_compiler_params("parallel", "parallel"),
+            interpret=_interpret(),
+        )(qb, kb, vb, do, lse, delta)
+    else:
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_kernel, **kwargs),
+            out_shape=dkv_out_shape,
+            grid=(BH, Lk_p // block_k, Lq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh, ki, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ki, qi: (bh, ki, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ki, qi: (bh, ki, 0)),
+                pl.BlockSpec((1, block_q, D), lambda bh, ki, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki, qi: (bh, qi, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_k, D), lambda bh, ki, qi: (bh, ki, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ki, qi: (bh, ki, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+            compiler_params=_compiler_params("parallel", "parallel", "arbitrary"),
+            interpret=_interpret(),
+        )(qb, kb, vb, do, lse, delta)
     return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
-# public entry (custom VJP over flat (BH, L, Dp) layout)
+# public entry (custom VJP over flat (BH, L, D) layout)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
@@ -335,8 +657,13 @@ def _flash_flat_fwd(qb, kb, vb, scale, causal, block_q, block_k, kv_len, q_len):
 
 def _flash_flat_bwd(scale, causal, block_q, block_k, kv_len, q_len, res, do):
     qb, kb, vb, o, lse = res
+    # one fused XLA pass; doing this per k-tile inside the kernels wastes VPU
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    delta = jnp.broadcast_to(delta, (*delta.shape[:-1], STAT_LANES))
     dq, dk, dv = _bwd_flat(
-        qb, kb, vb, o, do, lse,
+        qb, kb, vb, do, lse, delta,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=kv_len, q_len=q_len,
     )
@@ -346,30 +673,68 @@ def _flash_flat_bwd(scale, causal, block_q, block_k, kv_len, q_len, res, do):
 _flash_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
-def flash_attention(
-    q: jax.Array,  # (B, Lq, H, D)
-    k: jax.Array,  # (B, Lk, H, D)
-    v: jax.Array,  # (B, Lk, H, D)
-    causal: bool = False,
-    block_q: int = 512,
-    block_k: int = 1024,
-) -> jax.Array:
+def _flash_local(q, k, v, *, causal, block_q, block_k):
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
     scale = D ** -0.5
 
     block_q = min(block_q, max(LANES, Lq))
     block_k = min(block_k, max(LANES, Lk))
-    Dp = max(LANES, ((D + LANES - 1) // LANES) * LANES)
     Lq_p = ((Lq + block_q - 1) // block_q) * block_q
     Lk_p = ((Lk + block_k - 1) // block_k) * block_k
 
     def to_bh(x, L_p):
-        x = _pad_to(_pad_to(x, L_p, 1), Dp, 3)
-        return x.transpose(0, 2, 1, 3).reshape(B * H, L_p, Dp)
+        x = _pad_to(x, L_p, 1)
+        return x.transpose(0, 2, 1, 3).reshape(B * H, L_p, D)
 
     qb, kb, vb = to_bh(q, Lq_p), to_bh(k, Lk_p), to_bh(v, Lk_p)
     out = _flash_flat(qb, kb, vb, scale, causal, block_q, block_k, Lk, Lq)
-    out = out.reshape(B, H, Lq_p, Dp).transpose(0, 2, 1, 3)
-    return out[:, :Lq, :, :D]
+    out = out.reshape(B, H, Lq_p, D).transpose(0, 2, 1, 3)
+    return out[:, :Lq]
+
+
+def ambient_mesh():
+    """The mesh installed by the enclosing ``with mesh:`` block, if any —
+    visible during jit tracing, which is when kernels are dispatched."""
+    try:
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+        if m is not None and not m.empty and m.size > 1:
+            return m
+    except Exception:  # pragma: no cover - jax internals moved
+        return None
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+def flash_attention(
+    q: jax.Array,  # (B, Lq, H, D)
+    k: jax.Array,  # (B, Lk, H, D)
+    v: jax.Array,  # (B, Lk, H, D)
+    causal: bool = False,
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> jax.Array:
+    """Flash attention; under a multi-device mesh the kernel runs per-shard
+    via shard_map (batch over (data, fsdp), heads over model). XLA's SPMD
+    partitioner cannot see inside a custom call, so a bare pallas_call under
+    pjit is replicated: every chip all-gathers the full batch and computes
+    redundantly (verified in compiled HLO on an 8-device mesh)."""
+    B, _, H, _ = q.shape
+    mesh = ambient_mesh()
+    fn = functools.partial(
+        _flash_local, causal=causal, block_q=block_q, block_k=block_k
+    )
+    if mesh is not None and {"data", "fsdp", "model"} <= set(mesh.axis_names):
+        from jax.sharding import PartitionSpec as P
+
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        n_batch = sizes["data"] * sizes["fsdp"]
+        if B % n_batch == 0 and H % sizes["model"] == 0:
+            spec = P(("data", "fsdp"), None, "model", None)
+            return jax.shard_map(
+                fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False,  # pallas outputs carry no vma metadata
+            )(q, k, v)
+    return fn(q, k, v)

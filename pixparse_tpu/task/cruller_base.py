@@ -37,7 +37,7 @@ from pixparse_tpu.models.torch_interop import (
     resize_token_embeddings,
 )
 from pixparse_tpu.ops.generation import generate
-from pixparse_tpu.ops.loss import chunked_cross_entropy_from_hidden
+from pixparse_tpu.ops.loss import cross_entropy_from_hidden
 from pixparse_tpu.task.common import (
     add_special_tokens,
     fold_image_stats,
@@ -290,7 +290,7 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
                 rngs={"dropout": rng},
                 method="forward_hidden",
             )
-            loss, _ = chunked_cross_entropy_from_hidden(
+            loss, _ = cross_entropy_from_hidden(
                 hidden,
                 params["text_decoder"]["embed_tokens"]["embedding"].astype(
                     hidden.dtype

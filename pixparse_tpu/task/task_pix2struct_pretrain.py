@@ -27,7 +27,7 @@ from pixparse_tpu.framework.optimization import create_optimizer
 from pixparse_tpu.framework.train_state import create_train_state, make_train_step
 from pixparse_tpu.models.config import ModelCfg
 from pixparse_tpu.models.pix2struct import Pix2StructCruller
-from pixparse_tpu.ops.loss import chunked_cross_entropy_from_hidden
+from pixparse_tpu.ops.loss import cross_entropy_from_hidden
 from pixparse_tpu.ops.pix2struct import patchify_variable
 from pixparse_tpu.task.common import resolve_model_name
 from pixparse_tpu.task.task_cruller_pretrain import TaskCrullerPretrain
@@ -119,7 +119,7 @@ class TaskPix2StructPretrain(TaskCrullerPretrain):
                 rngs={"dropout": rng},
                 method="forward_hidden",
             )
-            loss, _ = chunked_cross_entropy_from_hidden(
+            loss, _ = cross_entropy_from_hidden(
                 hidden,
                 params["text_decoder"]["embed_tokens"]["embedding"].astype(
                     hidden.dtype

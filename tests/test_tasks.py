@@ -137,10 +137,11 @@ def test_pretrain_task_end_to_end():
         "text": rng.randint(4, 200, (8, L)).astype(np.int64),
         "target": rng.randint(4, 200, (8, L)).astype(np.int64),
     }
-    losses = [float(task.train_step(batch)["loss"]) for _ in range(3)]
+    # enough steps that fitting the fixed batch dominates dropout-mask noise
+    losses = [float(task.train_step(batch)["loss"]) for _ in range(6)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
-    assert task.step_idx == 3
+    assert task.step_idx == 6
 
     sd = task.state_dict()
     assert "image_encoder.trunk.patch_embed.proj.weight" in sd
