@@ -141,13 +141,21 @@ def make_train_step(
     batch poisons the run)."""
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
-        # derive the per-step key with threefry (strong, stable across
-        # backends for checkpoint identity), then hand the model an rbg key:
-        # dropout masks over (B, L, 4D) activations via threefry cost ~10 ms
-        # of xor-chain VPU fusions per cruller_base step; RngBitGenerator is
-        # near-free and still deterministic per (seed, step)
+        # derive the per-step key from the stored raw key, then hand the
+        # model an rbg-typed key: dropout masks over (B, L, 4D) activations
+        # via threefry cost ~10 ms of xor-chain VPU fusions per cruller_base
+        # step; RngBitGenerator is near-free and still deterministic per
+        # (seed, step). The stored key may be threefry-shaped (2,) or — when
+        # jax_default_prng_impl=rbg is set (app/train.py, bench.py) —
+        # already rbg-shaped (4,).
         base_rng = jax.random.fold_in(state.rng, state.step)
-        step_rng = jax.random.wrap_key_data(jnp.tile(base_rng, 2), impl="rbg")
+        data = jnp.asarray(base_rng)
+        if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
+            step_rng = base_rng  # already a typed key
+        elif data.shape[-1] == 4:
+            step_rng = jax.random.wrap_key_data(data, impl="rbg")
+        else:
+            step_rng = jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, step_rng
         )

@@ -115,6 +115,29 @@ def test_flash_attention_sharded_no_allgather():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_flash_attention_sharded_matches_replicated():
+    from pixparse_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(8, 130, 4, 64) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.randn(8, 130, 4, 64) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.randn(8, 130, 4, 64) * 0.3, jnp.float32)
+
+    def f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True).astype(jnp.float32) ** 2)
+
+    o_ref = flash_attention(q, k, v, causal=True)
+    g_ref = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2),
+                ("data", "fsdp", "model"))
+    with mesh:
+        o_sh = jax.jit(lambda q, k, v: flash_attention(q, k, v, causal=True))(q, k, v)
+        g_sh = jax.jit(jax.grad(f, argnums=(0, 1, 2)))(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_sh), atol=1e-6)
+    for a, b in zip(g_ref, g_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_fused_ce_matches_chunked_bf16(data):
     hidden, emb, tgt = data
     h16, e16 = hidden.astype(jnp.bfloat16), emb.astype(jnp.bfloat16)
