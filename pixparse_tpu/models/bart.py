@@ -22,7 +22,7 @@ tokens), built TPU-first:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -291,7 +291,7 @@ class BartCausalDecoder(nn.Module):
     cfg: BartDecoderCfg
     max_cache_len: int = 0
     dtype: Dtype = jnp.float32
-    remat: bool = False  # rematerialize decoder layers (memory <- recompute)
+    remat: Any = False  # False | True/"full" | "dots" (see vit._remat_policy)
     attn_impl: str = "xla"
 
     @nn.compact
@@ -371,7 +371,12 @@ class BartCausalDecoder(nn.Module):
             # recompute — the dominant non-logits train allocation at L=1023
             # static_argnums index __call__ args with self at 0: mode (4)
             # and deterministic (5) are Python-level statics
-            layer_cls = nn.remat(BartDecoderLayer, static_argnums=(4, 5))
+            from pixparse_tpu.models.vit import _remat_policy
+
+            layer_cls = nn.remat(
+                BartDecoderLayer, static_argnums=(4, 5),
+                policy=_remat_policy(self.remat),
+            )
         encoder_pad_bias = None
         if encoder_pad_mask is not None:
             encoder_pad_bias = jnp.where(

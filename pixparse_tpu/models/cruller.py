@@ -54,7 +54,7 @@ class Cruller(nn.Module):
     dtype: jnp.dtype = jnp.float32
     max_cache_len: int = 0
     attn_impl: str = "xla"
-    remat: bool = False  # rematerialize encoder blocks + decoder layers
+    remat: Any = False  # False | True/"full" | "dots" (see vit._remat_policy)
 
     def setup(self):
         if isinstance(self.vit_cfg, SwinCfg):

@@ -20,7 +20,7 @@ Weight import from timm checkpoints is in
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -144,13 +144,23 @@ class ViTBlock(nn.Module):
         return x
 
 
+def _remat_policy(remat):
+    """None for full remat; the dots-saveable policy for remat='dots'."""
+    if remat == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
+
+
 class ViT(nn.Module):
     """Token-sequence ViT encoder (no pooling, no head)."""
 
     cfg: ViTCfg
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False  # rematerialize blocks (memory <- recompute)
+    # False | True/"full" (recompute everything) | "dots" (save matmul
+    # outputs, recompute elementwise — jax dots_with_no_batch_dims policy:
+    # most of full remat's memory win at a fraction of the recompute)
+    remat: Any = False
 
     @nn.compact
     def __call__(self, images: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -202,7 +212,9 @@ class ViT(nn.Module):
         block_cls = ViTBlock
         if self.remat:
             # static_argnums index __call__ args with self at 0
-            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
+            block_cls = nn.remat(
+                ViTBlock, static_argnums=(2,), policy=_remat_policy(self.remat)
+            )
         for i in range(c.depth):
             x = block_cls(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")(
                 x, deterministic

@@ -635,42 +635,89 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv
 
 
 # ---------------------------------------------------------------------------
-# public entry (custom VJP over flat (BH, L, D) layout)
+# public entry. The custom VJP boundary sits at the flat (B, L, H*D) level
+# so autodiff residuals are the unpadded packed arrays: saving the kernel
+# operands in (B*H, L, D) head-split form costs 2x HBM at head_dim 64 (the
+# minor dim pads to the 128-lane tile — seen in an HBM OOM dump at
+# cruller_large scale) and similarly 16x for 8-lane lse rows. The backward
+# redoes the cheap head-split transposes instead.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash_flat(qb, kb, vb, scale, causal, block_q, block_k, kv_len, q_len):
-    o, _ = _fwd_flat(
-        qb, kb, vb, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, kv_len=kv_len, q_len=q_len, out_dtype=qb.dtype,
-    )
+
+def _split_heads(xf, H, L_p):
+    """(B, L, H*D) -> padded (B*H, L_p, D)."""
+    B, L, HD = xf.shape
+    D = HD // H
+    x = _pad_to(xf.reshape(B, L, H, D), L_p, 1)
+    return x.transpose(0, 2, 1, 3).reshape(B * H, L_p, D)
+
+
+def _merge_heads(xb, B, H, Lq):
+    """(B*H, L_p, D) -> (B, Lq, H*D)."""
+    BH, L_p, D = xb.shape
+    x = xb.reshape(B, H, L_p, D).transpose(0, 2, 1, 3)[:, :Lq]
+    return x.reshape(B, Lq, H * D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_packed(qf, kf, vf, H, scale, causal, block_q, block_k):
+    o, *_ = _flash_packed_fwd(qf, kf, vf, H, scale, causal, block_q, block_k)
     return o
 
 
-def _flash_flat_fwd(qb, kb, vb, scale, causal, block_q, block_k, kv_len, q_len):
+def _flash_packed_fwd(qf, kf, vf, H, scale, causal, block_q, block_k):
+    B, Lq, HD = qf.shape
+    Lk = kf.shape[1]
+    Lq_p = ((Lq + block_q - 1) // block_q) * block_q
+    Lk_p = ((Lk + block_k - 1) // block_k) * block_k
+    qb = _split_heads(qf, H, Lq_p)
+    kb = _split_heads(kf, H, Lk_p)
+    vb = _split_heads(vf, H, Lk_p)
     o, lse = _fwd_flat(
         qb, kb, vb, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, kv_len=kv_len, q_len=q_len, out_dtype=qb.dtype,
+        block_k=block_k, kv_len=Lk, q_len=Lq, out_dtype=qb.dtype,
     )
-    return o, (qb, kb, vb, o, lse)
+    of = _merge_heads(o, B, H, Lq)
+    return of, (qf, kf, vf, of, lse[:, :, 0])
 
 
-def _flash_flat_bwd(scale, causal, block_q, block_k, kv_len, q_len, res, do):
-    qb, kb, vb, o, lse = res
-    # one fused XLA pass; doing this per k-tile inside the kernels wastes VPU
-    delta = jnp.sum(
-        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
-    )
-    delta = jnp.broadcast_to(delta, (*delta.shape[:-1], STAT_LANES))
+def _flash_packed_vjp_fwd(qf, kf, vf, H, scale, causal, block_q, block_k):
+    of, res = _flash_packed_fwd(qf, kf, vf, H, scale, causal, block_q, block_k)
+    return of, res
+
+
+def _flash_packed_vjp_bwd(H, scale, causal, block_q, block_k, res, dof):
+    qf, kf, vf, of, lse2 = res
+    B, Lq, HD = qf.shape
+    D = HD // H
+    Lk = kf.shape[1]
+    Lq_p = ((Lq + block_q - 1) // block_q) * block_q
+    Lk_p = ((Lk + block_k - 1) // block_k) * block_k
+
+    qb = _split_heads(qf, H, Lq_p)
+    kb = _split_heads(kf, H, Lk_p)
+    vb = _split_heads(vf, H, Lk_p)
+    dob = _split_heads(dof, H, Lq_p)
+    # delta in the packed layout (one fused XLA pass), then head-split
+    d = (dof.astype(jnp.float32) * of.astype(jnp.float32)).reshape(
+        B, Lq, H, D
+    ).sum(-1)  # (B, Lq, H)
+    d = _pad_to(d, Lq_p, 1).transpose(0, 2, 1).reshape(B * H, Lq_p)
+    delta = jnp.broadcast_to(d[:, :, None], (B * H, Lq_p, STAT_LANES))
+    lse = jnp.broadcast_to(lse2[:, :, None], (*lse2.shape, STAT_LANES))
     dq, dk, dv = _bwd_flat(
-        qb, kb, vb, do, lse, delta,
+        qb, kb, vb, dob, lse, delta,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_len=kv_len, q_len=q_len,
+        kv_len=Lk, q_len=Lq,
     )
-    return dq, dk, dv
+    return (
+        _merge_heads(dq, B, H, Lq),
+        _merge_heads(dk, B, H, Lk),
+        _merge_heads(dv, B, H, Lk),
+    )
 
 
-_flash_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
+_flash_packed.defvjp(_flash_packed_vjp_fwd, _flash_packed_vjp_bwd)
 
 
 def _flash_local(q, k, v, *, causal, block_q, block_k):
@@ -680,17 +727,12 @@ def _flash_local(q, k, v, *, causal, block_q, block_k):
 
     block_q = min(block_q, max(LANES, Lq))
     block_k = min(block_k, max(LANES, Lk))
-    Lq_p = ((Lq + block_q - 1) // block_q) * block_q
-    Lk_p = ((Lk + block_k - 1) // block_k) * block_k
 
-    def to_bh(x, L_p):
-        x = _pad_to(x, L_p, 1)
-        return x.transpose(0, 2, 1, 3).reshape(B * H, L_p, D)
-
-    qb, kb, vb = to_bh(q, Lq_p), to_bh(k, Lk_p), to_bh(v, Lk_p)
-    out = _flash_flat(qb, kb, vb, scale, causal, block_q, block_k, Lk, Lq)
-    out = out.reshape(B, H, Lq_p, D).transpose(0, 2, 1, 3)
-    return out[:, :Lq]
+    out = _flash_packed(
+        q.reshape(B, Lq, H * D), k.reshape(B, Lk, H * D),
+        v.reshape(B, Lk, H * D), H, scale, causal, block_q, block_k,
+    )
+    return out.reshape(B, Lq, H, D)
 
 
 def ambient_mesh():

@@ -191,3 +191,33 @@ def test_pre_norm_decoder_cached_decode_matches_parallel():
         outs.append(logits[:, -1])
     step_logits = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(step_logits), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("remat", [True, "dots"])
+def test_remat_modes_match_no_remat_grads(remat):
+    """Full remat and the dots-saveable policy must be numerically identical
+    to no remat (they change memory/recompute, never values)."""
+    cfg = get_model_config("cruller_test")
+    vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, *vit_cfg.img_size, vit_cfg.in_chans), jnp.float32)
+    txt = jnp.asarray(rng.randint(4, bart_cfg.vocab_size, (2, 16)), jnp.int32)
+
+    def grads(remat_mode):
+        model = Cruller(vit_cfg, bart_cfg, dtype="float32", remat=remat_mode)
+        params = model.init(jax.random.PRNGKey(0), img, txt)["params"]
+
+        def loss(p):
+            h = model.apply(
+                {"params": p}, img, txt, method="forward_hidden"
+            )
+            return jnp.sum(h.astype(jnp.float32) ** 2)
+
+        return jax.jit(jax.grad(loss))(params)
+
+    g_ref = grads(False)
+    g = grads(remat)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
+        )
