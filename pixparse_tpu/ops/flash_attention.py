@@ -59,7 +59,12 @@ def _interpret() -> bool:
 def _compiler_params(*semantics):
     from jax.experimental.pallas import tpu as pltpu
 
-    return pltpu.CompilerParams(dimension_semantics=tuple(semantics))
+    # raise the default 16 MB scoped-vmem limit: single-k-block tiles at
+    # long sequence lengths (s/p tiles up to (512, 2560) f32) need more
+    return pltpu.CompilerParams(
+        dimension_semantics=tuple(semantics),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
 
 
 def _pad_to(x, size, axis):
@@ -727,6 +732,16 @@ def _flash_local(q, k, v, *, causal, block_q, block_k):
 
     block_q = min(block_q, max(LANES, Lq))
     block_k = min(block_k, max(LANES, Lk))
+    # prefer the single-k-block fast path when the key length would
+    # otherwise span multiple blocks (it skips the online-softmax machinery
+    # and the padded tail tiles: L=2509 over 3 x 1024 blocks pads 22%); cap
+    # the q block so the (block_q, block_k) fp32 score tile stays in VMEM.
+    # Lengths already covered by one block (every cruller_base site) are
+    # left untouched.
+    Lk_r = ((Lk + LANES - 1) // LANES) * LANES
+    if -(-Lk // block_k) > 1 and Lk_r <= 2560:
+        block_k = Lk_r
+        block_q = min(block_q, 512)
 
     out = _flash_packed(
         q.reshape(B, Lq, H * D), k.reshape(B, Lk, H * D),
