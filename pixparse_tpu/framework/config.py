@@ -52,6 +52,9 @@ class TaskTrainCfg:
     # ship uint8 images host->device (4x smaller transfer) and fuse the
     # normalize into the train step (ops/preprocess.py normalize_images)
     device_preprocess: bool = False
+    # train-time augmentation pipeline: 'legacy' (reference task default) |
+    # 'basic' | 'better' | 'nougat' (data/transforms.py); None = task default
+    transforms: Optional[str] = None
 
 
 @dataclass
