@@ -165,6 +165,7 @@ class CachedCrossAttention(nn.Module):
         encoder_hidden_states: jax.Array,  # (B, Lk, D)
         mode: str = "train",
         encoder_pad_bias: Optional[jax.Array] = None,  # (B, 1, 1, Lk) additive
+        encoder_kv_lens: Optional[jax.Array] = None,  # (B,) leading valid keys
     ):
         c = self.cfg
         H = c.decoder_attention_heads
@@ -203,6 +204,7 @@ class CachedCrossAttention(nn.Module):
         out = dot_product_attention(
             q, k, v, dtype=self.dtype, bias=encoder_pad_bias,
             impl=self.attn_impl if mode == "train" else "xla",
+            kv_lens=encoder_kv_lens,
         )
         out = out.reshape(B, L, c.d_model)
         return _dense(c.d_model, ("heads", "embed"), "out_proj", self.dtype)(out)
@@ -225,6 +227,7 @@ class BartDecoderLayer(nn.Module):
         mode: str = "train",
         deterministic: bool = True,
         encoder_pad_bias=None,
+        encoder_kv_lens=None,
     ):
         c = self.cfg
         dropout = nn.Dropout(rate=c.dropout)
@@ -256,6 +259,7 @@ class BartDecoderLayer(nn.Module):
                 cross_attn(
                     cross_ln(x), encoder_hidden_states, mode=mode,
                     encoder_pad_bias=encoder_pad_bias,
+                    encoder_kv_lens=encoder_kv_lens,
                 ),
                 deterministic=deterministic,
             )
@@ -270,7 +274,8 @@ class BartDecoderLayer(nn.Module):
 
         residual = x
         x = cross_attn(
-            x, encoder_hidden_states, mode=mode, encoder_pad_bias=encoder_pad_bias
+            x, encoder_hidden_states, mode=mode, encoder_pad_bias=encoder_pad_bias,
+            encoder_kv_lens=encoder_kv_lens
         )
         x = dropout(x, deterministic=deterministic)
         x = cross_ln(residual + x)
@@ -306,6 +311,7 @@ class BartCausalDecoder(nn.Module):
         return_hidden: bool = False,  # pre-head hidden for chunked CE
         positions: Optional[jax.Array] = None,  # (B, L) explicit positions
         encoder_pad_mask: Optional[jax.Array] = None,  # (B, Lk) True = real key
+        encoder_kv_lens: Optional[jax.Array] = None,  # (B,) contiguous valid keys
     ) -> jax.Array:
         c = self.cfg
         B, L = input_ids.shape
@@ -378,7 +384,7 @@ class BartCausalDecoder(nn.Module):
                 policy=_remat_policy(self.remat),
             )
         encoder_pad_bias = None
-        if encoder_pad_mask is not None:
+        if encoder_pad_mask is not None and encoder_kv_lens is None:
             encoder_pad_bias = jnp.where(
                 encoder_pad_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
             )
@@ -392,6 +398,7 @@ class BartCausalDecoder(nn.Module):
                 mode,
                 deterministic,
                 encoder_pad_bias,
+                encoder_kv_lens,
             )
 
         if c.add_final_layer_norm:

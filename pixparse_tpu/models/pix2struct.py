@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pixparse_tpu.models.vit import ViTBlock, ViTCfg
-from pixparse_tpu.ops.attention import make_attention_bias
 
 Dtype = jnp.dtype
 
@@ -79,6 +78,7 @@ class Pix2StructEncoder(nn.Module):
     cfg: Pix2StructCfg
     dtype: Dtype = jnp.float32
     remat: bool = False
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -119,18 +119,23 @@ class Pix2StructEncoder(nn.Module):
         x = x + row_table(jnp.clip(rows, 0, c.max_rows - 1))
         x = x + col_table(jnp.clip(cols, 0, c.max_cols - 1))
 
-        bias = make_attention_bias(mask) if mask is not None else None
+        # the patchifier packs real patches first, so the (B, N) mask is
+        # contiguous and collapses to per-sample valid lengths — the form
+        # the flash kernel consumes natively (the XLA path rebuilds the
+        # additive bias from it)
+        kv_lens = mask.sum(-1).astype(jnp.int32) if mask is not None else None
         x = nn.with_logical_constraint(x, ("batch", "image_length", None))
         block_cfg = self.cfg.vit_block_cfg()
         block_cls = ViTBlock
         if self.remat:
-            # 2048-token attention scores don't fit HBM un-rematerialized at
-            # practical batch sizes (measured OOM at B=8 on v5e)
+            # 2048-token fp32 attention scores don't fit HBM on the XLA
+            # path at practical batch sizes (measured OOM at B=8 on v5e)
             block_cls = nn.remat(ViTBlock, static_argnums=(2,))
         for i in range(c.depth):
             x = block_cls(
-                block_cfg, dtype=self.dtype, name=f"blocks_{i}"
-            )(x, deterministic, bias)
+                block_cfg, dtype=self.dtype, attn_impl=self.attn_impl,
+                name=f"blocks_{i}"
+            )(x, deterministic, None, kv_lens)
         x = nn.LayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name="norm",
             scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
@@ -177,6 +182,13 @@ def resolve_pix2struct_cfg(name: str, image_size, in_chans: int):
     return cfg, stats
 
 
+
+def _mask_lens(mask):
+    """Contiguous (B, N) validity mask -> per-sample valid-key counts."""
+    import jax.numpy as jnp
+
+    return mask.sum(-1).astype(jnp.int32) if mask is not None else None
+
 class Pix2StructCruller(nn.Module):
     """Variable-resolution Cruller: Pix2Struct patch encoder + BART-style
     decoder with cross-attention over real (unmasked) patches only.
@@ -193,13 +205,14 @@ class Pix2StructCruller(nn.Module):
     dtype: Dtype = jnp.float32
     max_cache_len: int = 0
     remat: bool = False
-    attn_impl: str = "xla"  # decoder train attention (flash-eligible)
+    attn_impl: str = "xla"  # train attention impl (encoder + decoder)
 
     def setup(self):
         from pixparse_tpu.models.bart import BartCausalDecoder
 
         self.image_encoder = Pix2StructEncoder(
-            self.enc_cfg, dtype=self.dtype, remat=self.remat
+            self.enc_cfg, dtype=self.dtype, remat=self.remat,
+            attn_impl=self.attn_impl,
         )
         self.text_decoder = BartCausalDecoder(
             self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype,
@@ -229,6 +242,7 @@ class Pix2StructCruller(nn.Module):
             attention_mask=attention_mask,
             deterministic=deterministic,
             encoder_pad_mask=image_input.get("mask"),
+            encoder_kv_lens=_mask_lens(image_input.get("mask")),
         )
 
     def forward_hidden(
@@ -246,6 +260,7 @@ class Pix2StructCruller(nn.Module):
             deterministic=deterministic,
             return_hidden=True,
             encoder_pad_mask=image_input.get("mask"),
+            encoder_kv_lens=_mask_lens(image_input.get("mask")),
         )
 
     def decode(
@@ -267,4 +282,5 @@ class Pix2StructCruller(nn.Module):
             deterministic=True,
             positions=positions,
             encoder_pad_mask=encoder_pad_mask,
+            encoder_kv_lens=_mask_lens(encoder_pad_mask),
         )

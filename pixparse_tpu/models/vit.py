@@ -71,7 +71,8 @@ class ViTAttention(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, pad_bias=None):
+    def __call__(self, x, deterministic: bool = True, pad_bias=None,
+                 kv_lens=None):
         c = self.cfg
         head_dim = c.embed_dim // c.num_heads
         qkv = nn.Dense(
@@ -85,7 +86,8 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(B, L, 3, c.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = dot_product_attention(
-            q, k, v, bias=pad_bias, impl=self.attn_impl, dtype=self.dtype
+            q, k, v, bias=pad_bias, impl=self.attn_impl, dtype=self.dtype,
+            kv_lens=kv_lens,
         )
         out = out.reshape(B, L, c.embed_dim)
         out = nn.Dense(
@@ -130,7 +132,8 @@ class ViTBlock(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, pad_bias=None):
+    def __call__(self, x, deterministic: bool = True, pad_bias=None,
+                 kv_lens=None):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name=name,
@@ -138,7 +141,7 @@ class ViTBlock(nn.Module):
             bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
         )
         x = x + ViTAttention(c, dtype=self.dtype, attn_impl=self.attn_impl, name="attn")(
-            ln("norm1")(x), deterministic, pad_bias
+            ln("norm1")(x), deterministic, pad_bias, kv_lens
         )
         x = x + ViTMlp(c, dtype=self.dtype, name="mlp")(ln("norm2")(x), deterministic)
         return x

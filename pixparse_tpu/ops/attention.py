@@ -30,12 +30,20 @@ def dot_product_attention(
     causal: bool = False,
     dtype=None,
     impl: str = "xla",
+    kv_lens: Optional[jax.Array] = None,  # (B,) leading valid key count
 ) -> jax.Array:
-    """Scaled dot-product attention, softmax in fp32."""
+    """Scaled dot-product attention, softmax in fp32.
+
+    ``kv_lens`` masks trailing (packed-padding) key positions per sample —
+    the flash kernel handles it natively; the XLA path lowers it to an
+    additive bias. Mutually exclusive with ``bias``."""
     if impl == "flash" and bias is None:
         from pixparse_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=causal)
+        return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens)
+    if kv_lens is not None and bias is None:
+        valid = jnp.arange(k.shape[1])[None, :] < kv_lens[:, None]  # (B, Lk)
+        bias = jnp.where(valid[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
 
     out_dtype = dtype or q.dtype
     head_dim = q.shape[-1]

@@ -36,6 +36,10 @@ Kernel design (per pallas_guide.md):
   broadcast across a full 128-lane tile.
 - batch*heads and the non-accumulating sequence dim are declared
   ``parallel`` so Mosaic may reorder/pipeline them.
+- per-sample key lengths (``kv_lens``) support packed/padded variable-
+  length keys (pix2struct variable-resolution patches): a (B,) length vector
+  replaces the (B, H, Lq, Lk) additive bias the XLA path needs, keeping the
+  masked-encoder train path on the flash kernels.
 - runs in interpreter mode automatically on CPU (tests).
 """
 
@@ -105,9 +109,10 @@ def _tile_classes(qi, ki, block_q, block_k, off):
 
 def _fwd_kernel_single(
     q_ref, k_ref, v_ref,  # (1, block, D)
+    klen_ref,  # (1, 1) int32 per-sample key length (varlen only)
     o_ref,  # (1, block_q, D)
     lse_ref,  # (1, block_q, STAT_LANES)
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
 ):
     """One k-block covers the full key length: plain softmax, no scratch."""
     qi = pl.program_id(1)
@@ -117,7 +122,9 @@ def _fwd_kernel_single(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    if kv_pad:
+    if varlen:
+        s = s + _tail_bias(0, block_q, block_k, klen_ref[pl.program_id(0), 0])
+    elif kv_pad:
         s = s + _tail_bias(0, block_q, block_k, kv_len)
     if causal:
         s = jnp.where(
@@ -138,11 +145,12 @@ def _fwd_kernel_single(
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref,  # (1, block, D)
+    klen_ref,  # (1, 1) int32 per-sample key length (varlen only)
     o_ref,  # (1, block_q, D)
     lse_ref,  # (1, block_q, STAT_LANES)
     m_scratch, l_scratch,  # (block_q, STAT_LANES) f32
     acc_scratch,  # (block_q, D) f32
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -161,7 +169,9 @@ def _fwd_kernel(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        if kv_pad:
+        if varlen:
+            s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
+        elif kv_pad:
             s = s + _tail_bias(ki, block_q, block_k, kv_len)
         if masked:
             s = jnp.where(
@@ -211,15 +221,16 @@ def _fwd_kernel(
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, q_len, out_dtype):
-    """(BH, Lq_p, D) inputs -> (o, lse)."""
+def _fwd_flat(qb, kb, vb, klen, *, scale, causal, block_q, block_k, kv_len,
+              q_len, varlen, out_dtype):
+    """(BH, Lq_p, D) inputs + (BH, 1) key lengths -> (o, lse)."""
     from jax.experimental.pallas import tpu as pltpu
 
     BH, Lq_p, D = qb.shape
     Lk_p = kb.shape[1]
     kwargs = dict(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_len=kv_len, q_len=q_len, kv_pad=Lk_p != kv_len,
+        kv_len=kv_len, q_len=q_len, kv_pad=Lk_p != kv_len, varlen=varlen,
     )
     out_shape = (
         jax.ShapeDtypeStruct((BH, Lq_p, D), out_dtype),
@@ -234,6 +245,7 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, q_len, out
                 pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
                 pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
                 pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
@@ -241,7 +253,7 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, q_len, out
             ),
             compiler_params=_compiler_params("parallel", "parallel"),
             interpret=_interpret(),
-        )(qb, kb, vb)
+        )(qb, kb, vb, klen)
     grid = (BH, Lq_p // block_q, Lk_p // block_k)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, **kwargs),
@@ -251,6 +263,7 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, q_len, out
             pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
@@ -263,7 +276,7 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, q_len, out
         ],
         compiler_params=_compiler_params("parallel", "parallel", "arbitrary"),
         interpret=_interpret(),
-    )(qb, kb, vb)
+    )(qb, kb, vb, klen)
 
 
 # ---------------------------------------------------------------------------
@@ -271,9 +284,9 @@ def _fwd_flat(qb, kb, vb, *, scale, causal, block_q, block_k, kv_len, q_len, out
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel_single(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dq_ref, dk_ref, dv_ref,
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
 ):
     """nq == nk == 1 (every cruller/donut training site): one kernel for all
     three grads — s/p/dp are computed once instead of once per dq and dk/dv
@@ -284,7 +297,9 @@ def _bwd_kernel_single(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    if kv_pad:
+    if varlen:
+        s = s + _tail_bias(0, block_q, block_k, klen_ref[pl.program_id(0), 0])
+    elif kv_pad:
         s = s + _tail_bias(0, block_q, block_k, kv_len)
     if causal:
         s = jnp.where(
@@ -313,9 +328,9 @@ def _bwd_kernel_single(
 
 
 def _bwd_dq_kernel_single(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dq_ref,
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
 ):
     """nk == 1: recompute p once and write dq directly, no accumulator."""
     qi = pl.program_id(1)
@@ -325,7 +340,9 @@ def _bwd_dq_kernel_single(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    if kv_pad:
+    if varlen:
+        s = s + _tail_bias(0, block_q, block_k, klen_ref[pl.program_id(0), 0])
+    elif kv_pad:
         s = s + _tail_bias(0, block_q, block_k, kv_len)
     if causal:
         s = jnp.where(
@@ -347,9 +364,9 @@ def _bwd_dq_kernel_single(
 
 
 def _bwd_dkv_kernel_single(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dk_ref, dv_ref,
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
 ):
     """nq == 1: single q block, write dk/dv directly, no accumulators."""
     ki = pl.program_id(1)
@@ -359,7 +376,9 @@ def _bwd_dkv_kernel_single(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    if kv_pad:
+    if varlen:
+        s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
+    elif kv_pad:
         s = s + _tail_bias(ki, block_q, block_k, kv_len)
     if causal:
         s = jnp.where(
@@ -384,10 +403,10 @@ def _bwd_dkv_kernel_single(
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dq_ref,
     dq_scratch,  # (block_q, D) f32
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -404,7 +423,9 @@ def _bwd_dq_kernel(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        if kv_pad:
+        if varlen:
+            s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
+        elif kv_pad:
             s = s + _tail_bias(ki, block_q, block_k, kv_len)
         if masked:
             s = jnp.where(
@@ -448,10 +469,10 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,  # (block_k, D) f32
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
 ):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -469,7 +490,9 @@ def _bwd_dkv_kernel(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        if kv_pad:
+        if varlen:
+            s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
+        elif kv_pad:
             s = s + _tail_bias(ki, block_q, block_k, kv_len)
         if masked:
             s = jnp.where(
@@ -516,14 +539,15 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
 
 
-def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv_len, q_len):
+def _bwd_flat(qb, kb, vb, do, lse, delta, klen, *, scale, causal, block_q,
+              block_k, kv_len, q_len, varlen):
     from jax.experimental.pallas import tpu as pltpu
 
     BH, Lq_p, D = qb.shape
     Lk_p = kb.shape[1]
     kwargs = dict(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_len=kv_len, q_len=q_len, kv_pad=Lk_p != kv_len,
+        kv_len=kv_len, q_len=q_len, kv_pad=Lk_p != kv_len, varlen=varlen,
     )
 
     if Lq_p == block_q and Lk_p == block_k:
@@ -542,6 +566,7 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv
                 pl.BlockSpec((1, block_q, D), lambda bh: (bh, 0, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh: (bh, 0, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh: (bh, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, block_q, D), lambda bh: (bh, 0, 0)),
@@ -550,7 +575,7 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv
             ),
             compiler_params=_compiler_params("parallel"),
             interpret=_interpret(),
-        )(qb, kb, vb, do, lse, delta)
+        )(qb, kb, vb, do, lse, delta, klen)
 
     if Lk_p == block_k:
         dq = pl.pallas_call(
@@ -564,11 +589,12 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv
                 pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi: (bh, qi, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
             compiler_params=_compiler_params("parallel", "parallel"),
             interpret=_interpret(),
-        )(qb, kb, vb, do, lse, delta)
+        )(qb, kb, vb, do, lse, delta, klen)
     else:
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel, **kwargs),
@@ -581,12 +607,13 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv
                 pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi, ki: (bh, qi, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi, ki: (bh, qi, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
             scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
             compiler_params=_compiler_params("parallel", "parallel", "arbitrary"),
             interpret=_interpret(),
-        )(qb, kb, vb, do, lse, delta)
+        )(qb, kb, vb, do, lse, delta, klen)
 
     dkv_out_shape = (
         jax.ShapeDtypeStruct((BH, Lk_p, D), kb.dtype),
@@ -604,6 +631,7 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv
                 pl.BlockSpec((1, block_q, D), lambda bh, ki: (bh, 0, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki: (bh, 0, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki: (bh, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0)),
@@ -611,7 +639,7 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv
             ),
             compiler_params=_compiler_params("parallel", "parallel"),
             interpret=_interpret(),
-        )(qb, kb, vb, do, lse, delta)
+        )(qb, kb, vb, do, lse, delta, klen)
     else:
         dk, dv = pl.pallas_call(
             functools.partial(_bwd_dkv_kernel, **kwargs),
@@ -624,6 +652,7 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv
                 pl.BlockSpec((1, block_q, D), lambda bh, ki, qi: (bh, qi, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki, qi: (bh, qi, 0)),
                 pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki, qi: (bh, qi, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, block_k, D), lambda bh, ki, qi: (bh, ki, 0)),
@@ -635,7 +664,7 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, *, scale, causal, block_q, block_k, kv
             ],
             compiler_params=_compiler_params("parallel", "parallel", "arbitrary"),
             interpret=_interpret(),
-        )(qb, kb, vb, do, lse, delta)
+        )(qb, kb, vb, do, lse, delta, klen)
     return dq, dk, dv
 
 
@@ -664,13 +693,20 @@ def _merge_heads(xb, B, H, Lq):
     return x.reshape(B, Lq, H * D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_packed(qf, kf, vf, H, scale, causal, block_q, block_k):
-    o, *_ = _flash_packed_fwd(qf, kf, vf, H, scale, causal, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_packed(qf, kf, vf, kv_lens, H, scale, causal, block_q, block_k, varlen):
+    o, *_ = _flash_packed_fwd(
+        qf, kf, vf, kv_lens, H, scale, causal, block_q, block_k, varlen
+    )
     return o
 
 
-def _flash_packed_fwd(qf, kf, vf, H, scale, causal, block_q, block_k):
+def _expand_klen(kv_lens, B, H):
+    """(B,) int32 -> (B*H, 1) per-grid-row key lengths."""
+    return jnp.repeat(kv_lens.astype(jnp.int32), H)[:, None]
+
+
+def _flash_packed_fwd(qf, kf, vf, kv_lens, H, scale, causal, block_q, block_k, varlen):
     B, Lq, HD = qf.shape
     Lk = kf.shape[1]
     Lq_p = ((Lq + block_q - 1) // block_q) * block_q
@@ -679,20 +715,26 @@ def _flash_packed_fwd(qf, kf, vf, H, scale, causal, block_q, block_k):
     kb = _split_heads(kf, H, Lk_p)
     vb = _split_heads(vf, H, Lk_p)
     o, lse = _fwd_flat(
-        qb, kb, vb, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, kv_len=Lk, q_len=Lq, out_dtype=qb.dtype,
+        qb, kb, vb, _expand_klen(kv_lens, B, H),
+        scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, kv_len=Lk, q_len=Lq, varlen=varlen,
+        out_dtype=qb.dtype,
     )
     of = _merge_heads(o, B, H, Lq)
-    return of, (qf, kf, vf, of, lse[:, :, 0])
+    return of, (qf, kf, vf, kv_lens, of, lse[:, :, 0])
 
 
-def _flash_packed_vjp_fwd(qf, kf, vf, H, scale, causal, block_q, block_k):
-    of, res = _flash_packed_fwd(qf, kf, vf, H, scale, causal, block_q, block_k)
+def _flash_packed_vjp_fwd(qf, kf, vf, kv_lens, H, scale, causal, block_q, block_k, varlen):
+    of, res = _flash_packed_fwd(
+        qf, kf, vf, kv_lens, H, scale, causal, block_q, block_k, varlen
+    )
     return of, res
 
 
-def _flash_packed_vjp_bwd(H, scale, causal, block_q, block_k, res, dof):
-    qf, kf, vf, of, lse2 = res
+def _flash_packed_vjp_bwd(H, scale, causal, block_q, block_k, varlen, res, dof):
+    import numpy as np
+
+    qf, kf, vf, kv_lens, of, lse2 = res
     B, Lq, HD = qf.shape
     D = HD // H
     Lk = kf.shape[1]
@@ -711,21 +753,23 @@ def _flash_packed_vjp_bwd(H, scale, causal, block_q, block_k, res, dof):
     delta = jnp.broadcast_to(d[:, :, None], (B * H, Lq_p, STAT_LANES))
     lse = jnp.broadcast_to(lse2[:, :, None], (*lse2.shape, STAT_LANES))
     dq, dk, dv = _bwd_flat(
-        qb, kb, vb, dob, lse, delta,
+        qb, kb, vb, dob, lse, delta, _expand_klen(kv_lens, B, H),
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_len=Lk, q_len=Lq,
+        kv_len=Lk, q_len=Lq, varlen=varlen,
     )
+    d_lens = np.zeros(kv_lens.shape, dtype=jax.dtypes.float0)
     return (
         _merge_heads(dq, B, H, Lq),
         _merge_heads(dk, B, H, Lk),
         _merge_heads(dv, B, H, Lk),
+        d_lens,
     )
 
 
 _flash_packed.defvjp(_flash_packed_vjp_fwd, _flash_packed_vjp_bwd)
 
 
-def _flash_local(q, k, v, *, causal, block_q, block_k):
+def _flash_local(q, k, v, kv_lens=None, *, causal, block_q, block_k):
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
     scale = D ** -0.5
@@ -743,9 +787,13 @@ def _flash_local(q, k, v, *, causal, block_q, block_k):
         block_k = Lk_r
         block_q = min(block_q, 512)
 
+    varlen = kv_lens is not None
+    if not varlen:
+        kv_lens = jnp.zeros((B,), jnp.int32)  # unused operand placeholder
     out = _flash_packed(
         q.reshape(B, Lq, H * D), k.reshape(B, Lk, H * D),
-        v.reshape(B, Lk, H * D), H, scale, causal, block_q, block_k,
+        v.reshape(B, Lk, H * D), kv_lens, H, scale, causal, block_q, block_k,
+        varlen,
     )
     return out.reshape(B, Lq, H, D)
 
@@ -772,12 +820,17 @@ def flash_attention(
     causal: bool = False,
     block_q: int = 1024,
     block_k: int = 1024,
+    kv_lens: "jax.Array | None" = None,  # (B,) valid key count per sample
 ) -> jax.Array:
     """Flash attention; under a multi-device mesh the kernel runs per-shard
     via shard_map (batch over (data, fsdp), heads over model). XLA's SPMD
     partitioner cannot see inside a custom call, so a bare pallas_call under
     pjit is replicated: every chip all-gathers the full batch and computes
-    redundantly (verified in compiled HLO on an 8-device mesh)."""
+    redundantly (verified in compiled HLO on an 8-device mesh).
+
+    ``kv_lens``: per-sample count of valid (leading) key positions — packed
+    variable-length keys as produced by the pix2struct patchifier; positions
+    >= the length are masked out of the softmax."""
     B, _, H, _ = q.shape
     mesh = ambient_mesh()
     fn = functools.partial(
@@ -790,8 +843,16 @@ def flash_attention(
         n_batch = sizes["data"] * sizes["fsdp"]
         if B % n_batch == 0 and H % sizes["model"] == 0:
             spec = P(("data", "fsdp"), None, "model", None)
+            if kv_lens is None:
+                return jax.shard_map(
+                    fn, mesh=mesh, in_specs=(spec, spec, spec),
+                    out_specs=spec,
+                    check_vma=False,  # pallas outputs carry no vma metadata
+                )(q, k, v)
             return jax.shard_map(
-                fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-                check_vma=False,  # pallas outputs carry no vma metadata
-            )(q, k, v)
-    return fn(q, k, v)
+                fn, mesh=mesh,
+                in_specs=(spec, spec, spec, P(("data", "fsdp"))),
+                out_specs=spec,
+                check_vma=False,
+            )(q, k, v, kv_lens)
+    return fn(q, k, v, kv_lens)

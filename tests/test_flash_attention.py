@@ -85,3 +85,53 @@ def test_flash_causal_bottom_right_alignment():
     ref = dot_product_attention(q, k, v, causal=True, impl="xla")
     out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_varlen_matches_xla_bias():
+    """Per-sample kv_lens (packed variable-length keys, pix2struct) must
+    match the XLA additive-bias path in values and grads."""
+    import numpy as np
+    from pixparse_tpu.ops.attention import dot_product_attention
+    from pixparse_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(0)
+    B, Lq, Lk, H, D = 4, 37, 53, 4, 64
+    q = jnp.asarray(rng.randn(B, Lq, H, D) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.randn(B, Lk, H, D) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.randn(B, Lk, H, D) * 0.3, jnp.float32)
+    lens = jnp.asarray([53, 20, 1, 40], jnp.int32)
+    mask = jnp.arange(Lk)[None, :] < lens[:, None]
+    bias = jnp.where(mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
+
+    of = flash_attention(q, k, v, kv_lens=lens)
+    ox = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    np.testing.assert_allclose(np.asarray(of), np.asarray(ox), atol=1e-5)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_lens=lens).astype(jnp.float32) ** 2)
+
+    def f_xla(q, k, v):
+        return jnp.sum(
+            dot_product_attention(q, k, v, bias=bias, impl="xla").astype(jnp.float32) ** 2
+        )
+
+    gf = jax.jit(jax.grad(f_flash, argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.jit(jax.grad(f_xla, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dot_product_attention_kv_lens_xla_path():
+    """kv_lens lowers to an additive bias on the XLA impl."""
+    import numpy as np
+    from pixparse_tpu.ops.attention import dot_product_attention
+
+    rng = np.random.RandomState(1)
+    B, L, H, D = 2, 9, 2, 8
+    q = jnp.asarray(rng.randn(B, L, H, D), jnp.float32)
+    lens = jnp.asarray([9, 4], jnp.int32)
+    mask = jnp.arange(L)[None, :] < lens[:, None]
+    bias = jnp.where(mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
+    a = dot_product_attention(q, q, q, kv_lens=lens, impl="xla")
+    b = dot_product_attention(q, q, q, bias=bias, impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
