@@ -135,3 +135,29 @@ def test_dot_product_attention_kv_lens_xla_path():
     a = dot_product_attention(q, q, q, kv_lens=lens, impl="xla")
     b = dot_product_attention(q, q, q, bias=bias, impl="xla")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flash_varlen_causal_combo():
+    """kv_lens composes with causal masking (both restrict the key set)."""
+    import numpy as np
+    from pixparse_tpu.ops.attention import dot_product_attention
+    from pixparse_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(2)
+    B, L, H, D = 3, 41, 2, 16
+    q = jnp.asarray(rng.randn(B, L, H, D) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, H, D) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, H, D) * 0.3, jnp.float32)
+    lens = jnp.asarray([41, 17, 5], jnp.int32)
+    mask = jnp.arange(L)[None, :] < lens[:, None]
+    bias = jnp.where(mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
+
+    of = flash_attention(q, k, v, causal=True, kv_lens=lens)
+    ox = dot_product_attention(q, k, v, bias=bias, causal=True, impl="xla")
+    # rows whose whole causal window is masked (row >= len, in-sample) are
+    # degenerate (uniform weights in the xla path); compare valid rows
+    valid_rows = jnp.arange(L)[None, :] < lens[:, None]
+    sel = np.asarray(valid_rows)
+    np.testing.assert_allclose(
+        np.asarray(of)[sel], np.asarray(ox)[sel], atol=1e-5
+    )

@@ -1,0 +1,50 @@
+"""Batch-inference CLI: images in -> JSONL out, through the real jitted
+KV-cached decode on the virtual mesh (full static-shape batching incl. the
+padded final batch)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixparse_tpu.app.infer import main as infer_main
+
+
+@pytest.fixture(scope="module")
+def pages(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    rng = np.random.RandomState(0)
+    for i in range(5):  # 5 pages at batch 4 -> exercises final-batch padding
+        img = Image.fromarray(rng.randint(0, 255, (64, 48), np.uint8), "L")
+        img.save(d / f"page-{i:02d}.png")
+    return str(d)
+
+
+def test_infer_cli_ocr_jsonl(pages, tmp_path):
+    out = str(tmp_path / "ocr.jsonl")
+    rc = infer_main([
+        "--infer.task_name", "cruller_eval_ocr",
+        "--infer.images", pages,
+        "--infer.output", out,
+        "--infer.batch_size", "4",
+        "--infer.max_new_tokens", "8",
+        "--task.model_name", "cruller_test",
+        "--task.tokenizer.name", "pixparse_bytelevel",
+        "--task.dtype", "float32",
+    ])
+    assert rc == 0
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 5
+    recs = [json.loads(l) for l in lines]
+    assert [os.path.basename(r["file"]) for r in recs] == [
+        f"page-{i:02d}.png" for i in range(5)
+    ]
+    for r in recs:
+        assert "text" in r  # random weights -> arbitrary text, but present
+
+
+def test_infer_cli_unknown_task():
+    with pytest.raises(SystemExit):
+        infer_main(["--infer.task_name", "nope", "--infer.images", "/tmp"])
