@@ -48,3 +48,26 @@ def test_infer_cli_ocr_jsonl(pages, tmp_path):
 def test_infer_cli_unknown_task():
     with pytest.raises(SystemExit):
         infer_main(["--infer.task_name", "nope", "--infer.images", "/tmp"])
+
+
+def test_infer_cli_cord_json_field(pages, tmp_path):
+    """JSON-completion tasks decode through token2json; with random weights
+    the parse may be empty, but the record schema must hold."""
+    out = str(tmp_path / "cord.jsonl")
+    rc = infer_main([
+        "--infer.task_name", "cruller_eval_cord",
+        "--infer.images", pages,
+        "--infer.output", out,
+        "--infer.batch_size", "5",
+        "--infer.max_new_tokens", "8",
+        "--task.model_name", "cruller_test",
+        "--task.tokenizer.name", "pixparse_bytelevel",
+        "--task.dtype", "float32",
+    ])
+    assert rc == 0
+    recs = [json.loads(l) for l in open(out).read().strip().splitlines()]
+    assert len(recs) == 5
+    for r in recs:
+        assert "text" in r
+        if "json" in r:
+            assert isinstance(r["json"], (dict, list))
