@@ -71,7 +71,7 @@ def _maybe_json(task, text: str) -> Optional[dict]:
     from pixparse_tpu.utils.json_utils import token2json
 
     try:
-        out = token2json(text, tokenizer=task.tokenizer)
+        out = token2json(text)
     except Exception:  # malformed generation — raw text still emitted
         return None
     return out if out else None
@@ -108,7 +108,6 @@ def infer(infer_cfg: InferCfg, task_cfg) -> int:
     _logger.info("%d images", len(files))
     bs = max(1, infer_cfg.batch_size)
     prompt = infer_cfg.prompt or task.task_start_token
-    max_len = infer_cfg.max_new_tokens or None
 
     emit_json = infer_cfg.task_name != "cruller_eval_ocr"
     records = []
@@ -119,9 +118,15 @@ def infer(infer_cfg: InferCfg, task_cfg) -> int:
         images = np.stack(
             [task.prepare_image(Image.open(f)) for f in padded]
         )
-        texts = task.generate_text(
-            images, task.prompt_ids(prompt, bs), max_length=max_len
-        )[:n]
+        prompt_ids = task.prompt_ids(prompt, bs)
+        # max_new_tokens counts GENERATED tokens; generate() takes the total
+        # sequence length (prompt included)
+        max_len = (
+            prompt_ids.shape[1] + infer_cfg.max_new_tokens
+            if infer_cfg.max_new_tokens
+            else None
+        )
+        texts = task.generate_text(images, prompt_ids, max_length=max_len)[:n]
         for f, text in zip(chunk, texts):
             clean = text
             for tok in (prompt, task.tokenizer.eos_token or ""):

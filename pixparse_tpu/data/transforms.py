@@ -124,18 +124,24 @@ def random_pad(
     fill: int = 255,
     random_placement: bool = True,
 ) -> np.ndarray:
-    """Pad onto a fill-colored canvas, random (train) or centered placement."""
+    """Pad onto a fill-colored canvas, random (train) or centered placement.
+
+    Pad-only, like the reference RandomPad (padding clamped at 0 on oversize
+    axes, ``data/transforms.py:434-448``): an axis already >= target is left
+    untouched, so resize-jitter overshoot survives to the pipeline's
+    CenterCrop instead of being top-left-cropped here."""
     th, tw = target_size
     h, w = img.shape[:2]
-    h, w = min(h, th), min(w, tw)
-    img = img[:h, :w]
+    oh, ow = max(th, h), max(tw, w)
     if random_placement:
-        top = int(rng.randint(0, th - h + 1))
-        left = int(rng.randint(0, tw - w + 1))
+        top = int(rng.randint(0, oh - h + 1))
+        left = int(rng.randint(0, ow - w + 1))
     else:
-        top = (th - h) // 2
-        left = (tw - w) // 2
-    shape = (th, tw) if img.ndim == 2 else (th, tw, img.shape[2])
+        top = (oh - h) // 2
+        left = (ow - w) // 2
+    if (oh, ow) == (h, w):
+        return img
+    shape = (oh, ow) if img.ndim == 2 else (oh, ow, img.shape[2])
     canvas = np.full(shape, fill, dtype=img.dtype)
     canvas[top:top + h, left:left + w] = img
     return canvas
@@ -199,8 +205,11 @@ def dilation(img: np.ndarray, scale=3, rng: Optional[np.random.RandomState] = No
 def _min_filter(img: np.ndarray, ksize: int) -> np.ndarray:
     from numpy.lib.stride_tricks import sliding_window_view
 
-    pad = ksize // 2
-    padded = np.pad(img, [(pad, pad), (pad, pad)] + [(0, 0)] * (img.ndim - 2), mode="edge")
+    # asymmetric padding keeps the output shape for EVEN kernels too (the
+    # nougat alb morphology draws sizes from (2, 3)); a symmetric k//2 pad
+    # would grow the image by 1px and break static batch shapes downstream
+    lo, hi = (ksize - 1) // 2, ksize // 2
+    padded = np.pad(img, [(lo, hi), (lo, hi)] + [(0, 0)] * (img.ndim - 2), mode="edge")
     win = sliding_window_view(padded, (ksize, ksize), axis=(0, 1))
     return win.min(axis=(-2, -1)).astype(img.dtype)
 

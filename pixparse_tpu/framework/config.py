@@ -53,7 +53,7 @@ class TaskTrainCfg:
     # normalize into the train step (ops/preprocess.py normalize_images)
     device_preprocess: bool = False
     # train-time augmentation pipeline: 'legacy' (reference task default) |
-    # 'basic' | 'better' | 'nougat' (data/transforms.py); None = task default
+    # 'better' | 'nougat' (data/transforms.py); None = task default
     transforms: Optional[str] = None
 
 

@@ -72,6 +72,13 @@ class Pix2StructCfg:
         )
 
 
+def _mask_lens(mask):
+    """Contiguous (B, N) validity mask -> per-sample valid-key counts."""
+    import jax.numpy as jnp
+
+    return mask.sum(-1).astype(jnp.int32) if mask is not None else None
+
+
 class Pix2StructEncoder(nn.Module):
     """(patches, rows, cols, mask) -> (B, max_patches, D) token sequence."""
 
@@ -123,7 +130,7 @@ class Pix2StructEncoder(nn.Module):
         # contiguous and collapses to per-sample valid lengths — the form
         # the flash kernel consumes natively (the XLA path rebuilds the
         # additive bias from it)
-        kv_lens = mask.sum(-1).astype(jnp.int32) if mask is not None else None
+        kv_lens = _mask_lens(mask)
         x = nn.with_logical_constraint(x, ("batch", "image_length", None))
         block_cfg = self.cfg.vit_block_cfg()
         block_cls = ViTBlock
@@ -182,12 +189,6 @@ def resolve_pix2struct_cfg(name: str, image_size, in_chans: int):
     return cfg, stats
 
 
-
-def _mask_lens(mask):
-    """Contiguous (B, N) validity mask -> per-sample valid-key counts."""
-    import jax.numpy as jnp
-
-    return mask.sum(-1).astype(jnp.int32) if mask is not None else None
 
 class Pix2StructCruller(nn.Module):
     """Variable-resolution Cruller: Pix2Struct patch encoder + BART-style

@@ -37,6 +37,7 @@ def dot_product_attention(
     ``kv_lens`` masks trailing (packed-padding) key positions per sample —
     the flash kernel handles it natively; the XLA path lowers it to an
     additive bias. Mutually exclusive with ``bias``."""
+    assert bias is None or kv_lens is None, "bias and kv_lens are exclusive"
     if impl == "flash" and bias is None:
         from pixparse_tpu.ops.flash_attention import flash_attention
 

@@ -30,9 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pixparse_tpu.ops.flash_attention import (  # shared kernel conventions
+    NEG_INF,
+    STAT_LANES as _STAT_LANES,
+    _interpret,
+)
+
 IGNORE_ID = -100
-NEG_INF = -1e30
-_STAT_LANES = 8
 
 
 def cross_entropy_loss(
@@ -120,10 +124,6 @@ def chunked_cross_entropy_from_hidden(
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
-
-
-def _interpret() -> bool:
-    return jax.devices()[0].platform == "cpu"
 
 
 def _compiler_params():

@@ -71,3 +71,14 @@ def test_infer_cli_cord_json_field(pages, tmp_path):
         assert "text" in r
         if "json" in r:
             assert isinstance(r["json"], (dict, list))
+
+
+def test_maybe_json_parses_wellformed_markup():
+    """The CORD token markup must round-trip into the 'json' field (the
+    original call passed a nonexistent kwarg and silently never parsed)."""
+    from pixparse_tpu.app.infer import _maybe_json
+
+    out = _maybe_json(None, "<s_menu><s_nm>latte</s_nm><s_cnt>2</s_cnt></s_menu>")
+    assert out == {"menu": {"nm": "latte", "cnt": "2"}}
+    # tag-free text falls back to token2json's text_sequence wrapper
+    assert _maybe_json(None, "plain") == {"text_sequence": "plain"}
