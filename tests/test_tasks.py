@@ -424,3 +424,36 @@ def test_pix2struct_task_in_factory():
     from pixparse_tpu.task import TASK_CLASS_REGISTRY
 
     assert "pix2struct_pretrain" in TASK_CLASS_REGISTRY
+
+
+def test_pix2struct_auto_remat_off_with_flash():
+    """With the varlen flash encoder, pix2struct trains un-rematerialized;
+    the auto heuristic must only engage remat for the XLA attention path
+    (which needs the (B, H, N, N) fp32 score tensors)."""
+    from pixparse_tpu.task.task_pix2struct_pretrain import (
+        TaskPix2StructPretrain,
+        TaskPix2StructPretrainCfg,
+    )
+
+    env = _env()
+
+    def make():
+        return TaskPix2StructPretrain(
+            TaskPix2StructPretrainCfg(
+                model_name="pix2struct_test", tokenizer=LOCAL_TOK,
+                opt=OptimizationCfg(learning_rate=1e-3),
+            ),
+            env, None,
+        )
+
+    task = make()
+    task.cfg.attn_impl = "flash"
+    task.train_setup(num_batches_per_interval=2)
+    assert task.model.remat is False
+
+    task2 = make()
+    task2.cfg.attn_impl = "xla"
+    task2.train_setup(num_batches_per_interval=2)
+    # tiny test config stays under the token*depth threshold either way
+    expected = task2.vit_cfg.num_tokens * task2.vit_cfg.depth > 20000
+    assert task2.model.remat is expected
