@@ -268,7 +268,10 @@ def bench_eval_decode(model_name, batch_size, new_tokens, steps, dtype):
 
     cfg = get_model_config(model_name)
     vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
-    model = Cruller(vit_cfg, bart_cfg, dtype=dtype)
+    import jax as _jax
+
+    attn = "flash" if _jax.devices()[0].platform != "cpu" else "xla"
+    model = Cruller(vit_cfg, bart_cfg, dtype=dtype, attn_impl=attn)
     mesh = create_mesh()
     n_chips = mesh.devices.size
 

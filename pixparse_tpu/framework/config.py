@@ -61,6 +61,7 @@ class TaskTrainCfg:
 class TaskEvalCfg:
     dtype: Optional[str] = None
     amp: bool = True
+    attn_impl: str = "auto"  # 'auto' (flash on TPU) | 'xla' | 'flash'
     model_name: str = ""
     mesh: MeshCfg = field(default_factory=MeshCfg)
     # ship uint8 canvas images host->device (4x smaller transfer) and fuse

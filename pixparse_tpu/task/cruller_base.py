@@ -551,7 +551,17 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         replicated = NamedSharding(self.device_env.mesh, P())
-        self.model = Cruller(self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype)
+        attn_impl = getattr(self.cfg, "attn_impl", "auto")
+        if attn_impl == "auto":
+            # the flash encoder matters for eval too: XLA attention on the
+            # 1009-token encode costs ~130 ms of fp32 softmax per decode
+            # batch (profiled) — over a third of total eval-decode time.
+            # Cached decode/prefill attention keeps the XLA path regardless.
+            attn_impl = "flash" if jax.devices()[0].platform != "cpu" else "xla"
+        self.model = Cruller(
+            self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype,
+            attn_impl=attn_impl,
+        )
         if self.resume_state_dict is not None:
             params = self.import_torch_params(
                 self.resume_state_dict, self.vit_cfg, self.bart_cfg
