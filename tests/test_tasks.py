@@ -457,3 +457,25 @@ def test_pix2struct_auto_remat_off_with_flash():
     # tiny test config stays under the token*depth threshold either way
     expected = task2.vit_cfg.num_tokens * task2.vit_cfg.depth > 20000
     assert task2.model.remat is expected
+
+
+def test_eval_generate_flash_matches_xla_encode():
+    """The eval path now auto-selects flash encode on TPU; the generated
+    tokens must be identical (within greedy-argmax stability) to the XLA
+    encode for the same weights."""
+    from pixparse_tpu.task import TaskCrullerEvalOCR, TaskCrullerEvalOCRCfg
+
+    env = _env()
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 64, 48, 1).astype(np.float32)
+
+    def gen(attn_impl):
+        task = TaskCrullerEvalOCR(
+            _task_cfg(TaskCrullerEvalOCRCfg, attn_impl=attn_impl), env, None
+        )
+        task.max_generation_length = 10
+        task.setup()
+        prompt = task.prompt_ids(task.task_start_token, 2)
+        return task.generate_ids(images, prompt)
+
+    np.testing.assert_array_equal(gen("xla"), gen("flash"))
