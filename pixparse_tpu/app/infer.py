@@ -66,7 +66,7 @@ def _list_images(spec: str) -> List[str]:
     return files
 
 
-def _maybe_json(task, text: str) -> Optional[dict]:
+def _maybe_json(text: str) -> Optional[dict]:
     """Parse generated markup into a dict for JSON-completion tasks."""
     from pixparse_tpu.utils.json_utils import token2json
 
@@ -128,13 +128,18 @@ def infer(infer_cfg: InferCfg, task_cfg) -> int:
         )
         texts = task.generate_text(images, prompt_ids, max_length=max_len)[:n]
         for f, text in zip(chunk, texts):
+            # strip only the structural frame — the leading prompt prefix and
+            # the trailing EOS — never interior occurrences of either string
+            # (generated text may legitimately contain them)
             clean = text
-            for tok in (prompt, task.tokenizer.eos_token or ""):
-                if tok:
-                    clean = clean.replace(tok, "")
+            if prompt and clean.startswith(prompt):
+                clean = clean[len(prompt):]
+            eos = task.tokenizer.eos_token or ""
+            if eos and clean.endswith(eos):
+                clean = clean[: -len(eos)]
             rec = {"file": f, "text": clean.strip()}
             if emit_json:
-                parsed = _maybe_json(task, clean)
+                parsed = _maybe_json(clean)
                 if parsed is not None:
                     rec["json"] = parsed
             records.append(rec)

@@ -16,10 +16,13 @@ Implementations:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+_logger = logging.getLogger(__name__)
 
 
 def dot_product_attention(
@@ -37,11 +40,20 @@ def dot_product_attention(
     ``kv_lens`` masks trailing (packed-padding) key positions per sample —
     the flash kernel handles it natively; the XLA path lowers it to an
     additive bias. Mutually exclusive with ``bias``."""
-    assert bias is None or kv_lens is None, "bias and kv_lens are exclusive"
-    if impl == "flash" and bias is None:
-        from pixparse_tpu.ops.flash_attention import flash_attention
+    if bias is not None and kv_lens is not None:
+        raise ValueError("bias and kv_lens are mutually exclusive")
+    if impl == "flash":
+        if bias is None:
+            from pixparse_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens)
+            return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens)
+        # arbitrary additive biases have no flash path — fall through to XLA,
+        # loudly: callers wanting flash should express masking as kv_lens
+        _logger.warning(
+            "impl='flash' requested but an additive bias forces the XLA "
+            "attention path (shape q=%s bias=%s); pass kv_lens for "
+            "flash-compatible masking", q.shape, bias.shape,
+        )
     if kv_lens is not None and bias is None:
         valid = jnp.arange(k.shape[1])[None, :] < kv_lens[:, None]  # (B, Lk)
         bias = jnp.where(valid[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)

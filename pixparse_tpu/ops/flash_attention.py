@@ -46,10 +46,13 @@ Kernel design (per pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+_logger = logging.getLogger(__name__)
 
 NEG_INF = -1e30
 LANES = 128
@@ -131,15 +134,21 @@ def _fwd_kernel_single(
             _causal_mask(qi, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
         )
     m = jnp.max(s, axis=1, keepdims=True)
+    # fully-masked rows (klen=0 / causal rows with no visible keys): every
+    # s is ~NEG_INF so exp(s - m) would peak at 1 and emit a spurious
+    # average of v — zero them instead, matching the multi-block kernel's
+    # l == 0 semantics
+    dead = m <= NEG_INF * 0.5
     p = jnp.exp(s - m).astype(v_ref.dtype)
     l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-    safe_l = jnp.where(l == 0.0, 1.0, l)
+    live = (l > 0.0) & ~dead
+    safe_l = jnp.where(live, l, 1.0)
     o = jax.lax.dot_general(
         p, v_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = (o / safe_l).astype(o_ref.dtype)
-    lse = jnp.where(l > 0.0, m + jnp.log(safe_l), NEG_INF)
+    o_ref[0] = jnp.where(live, o / safe_l, 0.0).astype(o_ref.dtype)
+    lse = jnp.where(live, m + jnp.log(safe_l), NEG_INF)
     lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -808,6 +817,16 @@ def ambient_mesh():
         if m is not None and not m.empty and m.size > 1:
             return m
     except Exception:  # pragma: no cover - jax internals moved
+        # a silent None here would push >1-device dispatch onto the bare
+        # pallas-under-pjit path, which the SPMD partitioner REPLICATES
+        # (full-batch all-gather per chip) — surface it instead
+        if len(jax.devices()) > 1:
+            _logger.warning(
+                "flash attention mesh detection failed (jax internals moved?) "
+                "with %d devices visible; kernels may run replicated under "
+                "pjit — check jax._src.mesh.thread_resources",
+                len(jax.devices()),
+            )
         return None
     return None
 
@@ -832,6 +851,14 @@ def flash_attention(
     variable-length keys as produced by the pix2struct patchifier; positions
     >= the length are masked out of the softmax."""
     B, _, H, _ = q.shape
+    if causal and kv_lens is not None and q.shape[1] != k.shape[1]:
+        # the causal diagonal composes with the GLOBAL offset Lk - Lq, not
+        # per-sample lengths; with varlen keys and Lq != Lk the bottom-right
+        # alignment would diverge from a per-sample-aligned reference
+        raise ValueError(
+            "causal=True with kv_lens requires Lq == Lk "
+            f"(got Lq={q.shape[1]}, Lk={k.shape[1]})"
+        )
     mesh = ambient_mesh()
     fn = functools.partial(
         _flash_local, causal=causal, block_q=block_q, block_k=block_k

@@ -78,7 +78,7 @@ def test_maybe_json_parses_wellformed_markup():
     original call passed a nonexistent kwarg and silently never parsed)."""
     from pixparse_tpu.app.infer import _maybe_json
 
-    out = _maybe_json(None, "<s_menu><s_nm>latte</s_nm><s_cnt>2</s_cnt></s_menu>")
+    out = _maybe_json("<s_menu><s_nm>latte</s_nm><s_cnt>2</s_cnt></s_menu>")
     assert out == {"menu": {"nm": "latte", "cnt": "2"}}
     # tag-free text falls back to token2json's text_sequence wrapper
-    assert _maybe_json(None, "plain") == {"text_sequence": "plain"}
+    assert _maybe_json("plain") == {"text_sequence": "plain"}
