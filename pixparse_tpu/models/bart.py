@@ -35,6 +35,12 @@ Dtype = jnp.dtype
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
+def _use_decode_kernel() -> bool:
+    """Pallas decode-attention on accelerators; XLA on CPU (tests compare
+    the kernel against the XLA path in interpret mode separately)."""
+    return jax.devices()[0].platform != "cpu"
+
+
 @dataclasses.dataclass(frozen=True)
 class BartDecoderCfg:
     vocab_size: int = 50265
@@ -68,6 +74,37 @@ def _dense(features, logical, name, dtype):
     )
 
 
+class _Proj(nn.Module):
+    """Declares a Dense-layout param pair (``kernel``, ``bias``) WITHOUT
+    applying it — same param-tree paths/shapes/init as ``nn.Dense`` so
+    checkpoints interop, but the caller owns the matmul. Used to fuse the
+    q/k/v projections into one GEMM in the decode step (3 GEMV-shaped
+    matmuls -> 1; the decode while-loop is per-op-latency-bound, docs/PERF.md
+    eval-decode section)."""
+
+    in_features: int
+    features: int
+    logical: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), self.logical
+            ),
+            (self.in_features, self.features),
+        )
+        bias = self.param(
+            "bias",
+            nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), (self.logical[-1],)
+            ),
+            (self.features,),
+        )
+        return kernel, bias
+
+
 def _ln(name, eps, dtype):
     return nn.LayerNorm(
         epsilon=eps, dtype=dtype, name=name,
@@ -95,8 +132,9 @@ class CachedSelfAttention(nn.Module):
     def __call__(
         self,
         x: jax.Array,  # (B, L, D)
-        pad_bias: Optional[jax.Array] = None,  # (B, 1, 1, Lk) additive
+        pad_bias: Optional[jax.Array] = None,  # (B, 1, 1, Lk) additive (train)
         mode: str = "train",
+        key_pad_mask: Optional[jax.Array] = None,  # (B, max_cache_len) decode/prefill
     ):
         c = self.cfg
         H = c.decoder_attention_heads
@@ -106,11 +144,10 @@ class CachedSelfAttention(nn.Module):
         def split(t):
             return t.reshape(B, L, H, Dh)
 
-        q = split(_dense(c.d_model, ("embed", "heads"), "q_proj", self.dtype)(x))
-        k = split(_dense(c.d_model, ("embed", "heads"), "k_proj", self.dtype)(x))
-        v = split(_dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)(x))
-
         if mode == "train":
+            q = split(_dense(c.d_model, ("embed", "heads"), "q_proj", self.dtype)(x))
+            k = split(_dense(c.d_model, ("embed", "heads"), "k_proj", self.dtype)(x))
+            v = split(_dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)(x))
             # flash path taken when no pad bias (the training forward passes
             # none — parity with the reference's mask-free teacher forcing)
             out = dot_product_attention(
@@ -118,32 +155,82 @@ class CachedSelfAttention(nn.Module):
                 impl=self.attn_impl,
             )
         else:
+            # decode/prefill: fuse q/k/v into ONE GEMM. Same params/paths as
+            # the train-mode Dense modules (_Proj declares without applying);
+            # the kernel concat is loop-invariant, XLA hoists it out of the
+            # decode while-loop. Per decode step this turns 3 latency-bound
+            # (B, D)x(D, D) GEMVs into one (B, D)x(D, 3D) matmul.
+            qk, qb = _Proj(c.d_model, c.d_model, ("embed", "heads"), name="q_proj")()
+            kk, kb = _Proj(c.d_model, c.d_model, ("embed", "heads"), name="k_proj")()
+            vk, vb = _Proj(c.d_model, c.d_model, ("embed", "heads"), name="v_proj")()
+            fused_kernel = jnp.concatenate([qk, kk, vk], axis=1).astype(self.dtype)
+            fused_bias = jnp.concatenate([qb, kb, vb]).astype(self.dtype)
+            qkv = x.astype(self.dtype) @ fused_kernel + fused_bias  # (B, L, 3D)
+            qf, kf, vf = jnp.split(qkv, 3, axis=-1)  # (B, L, D) heads flat
             assert self.max_cache_len > 0, "decode modes need max_cache_len"
+            # caches are stored FLAT (B, len_pad, H*Dh), allocated at a
+            # 128-lane multiple: the head-split (…, 12, 64) layout gets
+            # (16, 128)-tile padding on TPU — a measured 2.67x HBM
+            # footprint/bandwidth inflation on the decode loop's dominant
+            # traffic — and a runtime pad would re-copy the loop-carried
+            # cache every step (see ops/decode_attention.py)
+            len_pad = -(-self.max_cache_len // 128) * 128
             cached_k = self.variable(
                 "cache", "cached_key",
-                jnp.zeros, (B, self.max_cache_len, H, Dh), self.dtype,
+                jnp.zeros, (B, len_pad, c.d_model), self.dtype,
             )
             cached_v = self.variable(
                 "cache", "cached_value",
-                jnp.zeros, (B, self.max_cache_len, H, Dh), self.dtype,
+                jnp.zeros, (B, len_pad, c.d_model), self.dtype,
             )
             index = self.variable(
                 "cache", "cache_index", lambda: jnp.zeros((), jnp.int32)
             )
             i = index.value
-            cached_k.value = jax.lax.dynamic_update_slice(cached_k.value, k, (0, i, 0, 0))
-            cached_v.value = jax.lax.dynamic_update_slice(cached_v.value, v, (0, i, 0, 0))
+            cached_k.value = jax.lax.dynamic_update_slice(
+                cached_k.value, kf.astype(self.dtype), (0, i, 0)
+            )
+            cached_v.value = jax.lax.dynamic_update_slice(
+                cached_v.value, vf.astype(self.dtype), (0, i, 0)
+            )
             index.value = i + L
-            # validity: keys written so far (positions < i+L), causal within
-            # the block being written
-            pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, self.max_cache_len), 3)
+            if mode == "decode" and L == 1 and _use_decode_kernel():
+                # single-token step: Pallas kernel streams the flat caches
+                from pixparse_tpu.ops.decode_attention import decode_attention
+
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, len_pad), 1)
+                valid = col <= i  # keys written so far (causal, absolute)
+                if key_pad_mask is not None:
+                    valid = valid & jnp.pad(
+                        key_pad_mask.astype(bool),
+                        ((0, 0), (0, len_pad - self.max_cache_len)),
+                    )
+                else:
+                    valid = jnp.broadcast_to(valid, (B, len_pad))
+                out = decode_attention(
+                    qf, cached_k.value, cached_v.value, valid, num_heads=H
+                )
+                return _dense(c.d_model, ("heads", "embed"), "out_proj", self.dtype)(out)
+            # prefill / multi-token fallback: XLA attention over head-split
+            # views of the true-length cache prefix (once per generate call)
+            q = split(qf)
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (1, self.max_cache_len), 1
+            )
             q_pos = i + jax.lax.broadcasted_iota(jnp.int32, (1, 1, L, 1), 2)
-            valid = pos <= q_pos  # causal against absolute positions
+            valid = col[:, None, None, :] <= q_pos  # causal vs absolute pos
+            if key_pad_mask is not None:
+                valid = valid & key_pad_mask[:, None, None, :].astype(bool)
             bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
-            if pad_bias is not None:
-                bias = bias + pad_bias.astype(jnp.float32)
             out = dot_product_attention(
-                q, cached_k.value, cached_v.value, bias=bias, causal=False, dtype=self.dtype
+                q,
+                cached_k.value[:, :self.max_cache_len].reshape(
+                    B, self.max_cache_len, H, Dh
+                ),
+                cached_v.value[:, :self.max_cache_len].reshape(
+                    B, self.max_cache_len, H, Dh
+                ),
+                bias=bias, causal=False, dtype=self.dtype,
             )
 
         out = out.reshape(B, L, c.d_model)
@@ -166,6 +253,7 @@ class CachedCrossAttention(nn.Module):
         mode: str = "train",
         encoder_pad_bias: Optional[jax.Array] = None,  # (B, 1, 1, Lk) additive
         encoder_kv_lens: Optional[jax.Array] = None,  # (B,) leading valid keys
+        encoder_pad_mask: Optional[jax.Array] = None,  # (B, Lk) True = real key
     ):
         c = self.cfg
         H = c.decoder_attention_heads
@@ -173,9 +261,10 @@ class CachedCrossAttention(nn.Module):
         B, L, _ = x.shape
         Lk = encoder_hidden_states.shape[1]
 
-        q = _dense(c.d_model, ("embed", "heads"), "q_proj", self.dtype)(x).reshape(B, L, H, Dh)
+        qf = _dense(c.d_model, ("embed", "heads"), "q_proj", self.dtype)(x)
 
         if mode == "train" or not self.cache:
+            q = qf.reshape(B, L, H, Dh)
             k = _dense(c.d_model, ("embed", "heads"), "k_proj", self.dtype)(
                 encoder_hidden_states
             ).reshape(B, Lk, H, Dh)
@@ -183,23 +272,53 @@ class CachedCrossAttention(nn.Module):
                 encoder_hidden_states
             ).reshape(B, Lk, H, Dh)
         else:
-            # prefill computes K/V once; decode reuses without recompute
+            # prefill computes K/V once; decode reuses without recompute.
+            # Caches stored FLAT (B, Lk_pad, H*Dh), allocated at a 128-lane
+            # multiple — the decode loop's dominant HBM traffic; a runtime
+            # pad would re-copy the caches EVERY while-loop iteration (they
+            # are loop-carried state XLA can't hoist around; measured 0.6
+            # ms/step). See CachedSelfAttention / ops/decode_attention.py.
+            Lk_pad = -(-Lk // 128) * 128
             cached_k = self.variable(
-                "cache", "cached_enc_key", jnp.zeros, (B, Lk, H, Dh), self.dtype
+                "cache", "cached_enc_key", jnp.zeros, (B, Lk_pad, c.d_model), self.dtype
             )
             cached_v = self.variable(
-                "cache", "cached_enc_value", jnp.zeros, (B, Lk, H, Dh), self.dtype
+                "cache", "cached_enc_value", jnp.zeros, (B, Lk_pad, c.d_model), self.dtype
             )
             if mode == "prefill":
-                cached_k.value = _dense(c.d_model, ("embed", "heads"), "k_proj", self.dtype)(
-                    encoder_hidden_states
-                ).reshape(B, Lk, H, Dh)
-                cached_v.value = _dense(c.d_model, ("embed", "heads"), "v_proj", self.dtype)(
-                    encoder_hidden_states
-                ).reshape(B, Lk, H, Dh)
+                pad = ((0, 0), (0, Lk_pad - Lk), (0, 0))
+                cached_k.value = jnp.pad(_dense(
+                    c.d_model, ("embed", "heads"), "k_proj", self.dtype
+                )(encoder_hidden_states), pad)
+                cached_v.value = jnp.pad(_dense(
+                    c.d_model, ("embed", "heads"), "v_proj", self.dtype
+                )(encoder_hidden_states), pad)
             # decode mode reads the prefill-cached K/V (flax tolerates the
             # unused k/v_proj params in the supplied tree)
-            k, v = cached_k.value, cached_v.value
+            if mode == "decode" and L == 1 and _use_decode_kernel():
+                from pixparse_tpu.ops.decode_attention import decode_attention
+
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, Lk_pad), 1)
+                if encoder_pad_mask is not None:
+                    valid = jnp.pad(
+                        encoder_pad_mask.astype(bool),
+                        ((0, 0), (0, Lk_pad - Lk)),
+                    )
+                elif encoder_kv_lens is not None:
+                    valid = col < encoder_kv_lens[:, None]
+                else:
+                    valid = jnp.broadcast_to(col < Lk, (B, Lk_pad))
+                out = decode_attention(
+                    qf, cached_k.value, cached_v.value, valid, num_heads=H
+                )
+                return _dense(
+                    c.d_model, ("heads", "embed"), "out_proj", self.dtype
+                )(out)
+            q = qf.reshape(B, L, H, Dh)
+            # XLA fallback/prefill attention sees only the true Lk keys
+            # (slice-copy: runs once per generate call, not per step)
+            k = cached_k.value[:, :Lk].reshape(B, Lk, H, Dh)
+            v = cached_v.value[:, :Lk].reshape(B, Lk, H, Dh)
 
         out = dot_product_attention(
             q, k, v, dtype=self.dtype, bias=encoder_pad_bias,
@@ -228,6 +347,8 @@ class BartDecoderLayer(nn.Module):
         deterministic: bool = True,
         encoder_pad_bias=None,
         encoder_kv_lens=None,
+        key_pad_mask=None,  # (B, max_cache_len) decode/prefill self-attn
+        encoder_pad_mask=None,  # (B, Lk) decode cross-attn kernel
     ):
         c = self.cfg
         dropout = nn.Dropout(rate=c.dropout)
@@ -243,8 +364,13 @@ class BartDecoderLayer(nn.Module):
         )
 
         def ffn(h):
+            from jax.ad_checkpoint import checkpoint_name
+
             h = _dense(c.decoder_ffn_dim, ("embed", "mlp"), "fc1", self.dtype)(h)
+            # named for the selective remat='mlp' policy (see vit.ViTMlp)
+            h = checkpoint_name(h, "mlp_wide")
             h = nn.gelu(h, approximate=False)
+            h = checkpoint_name(h, "mlp_wide")
             h = nn.Dropout(rate=c.activation_dropout)(h, deterministic=deterministic)
             h = _dense(c.d_model, ("mlp", "embed"), "fc2", self.dtype)(h)
             return dropout(h, deterministic=deterministic)
@@ -252,7 +378,10 @@ class BartDecoderLayer(nn.Module):
         if c.pre_norm:
             # mBART layout (the Donut decoder): LN -> sublayer -> residual
             x = x + dropout(
-                self_attn(self_ln(x), pad_bias=self_pad_bias, mode=mode),
+                self_attn(
+                    self_ln(x), pad_bias=self_pad_bias, mode=mode,
+                    key_pad_mask=key_pad_mask,
+                ),
                 deterministic=deterministic,
             )
             x = x + dropout(
@@ -260,6 +389,7 @@ class BartDecoderLayer(nn.Module):
                     cross_ln(x), encoder_hidden_states, mode=mode,
                     encoder_pad_bias=encoder_pad_bias,
                     encoder_kv_lens=encoder_kv_lens,
+                    encoder_pad_mask=encoder_pad_mask,
                 ),
                 deterministic=deterministic,
             )
@@ -268,14 +398,16 @@ class BartDecoderLayer(nn.Module):
 
         # BART layout: sublayer -> residual -> LN
         residual = x
-        x = self_attn(x, pad_bias=self_pad_bias, mode=mode)
+        x = self_attn(
+            x, pad_bias=self_pad_bias, mode=mode, key_pad_mask=key_pad_mask
+        )
         x = dropout(x, deterministic=deterministic)
         x = self_ln(residual + x)
 
         residual = x
         x = cross_attn(
             x, encoder_hidden_states, mode=mode, encoder_pad_bias=encoder_pad_bias,
-            encoder_kv_lens=encoder_kv_lens
+            encoder_kv_lens=encoder_kv_lens, encoder_pad_mask=encoder_pad_mask,
         )
         x = dropout(x, deterministic=deterministic)
         x = cross_ln(residual + x)
@@ -357,19 +489,14 @@ class BartCausalDecoder(nn.Module):
         x = nn.Dropout(rate=c.dropout)(x, deterministic=deterministic)
         x = nn.with_logical_constraint(x, ("batch", "length", None))
 
-        # additive self-attention key bias from padding
-        if mode == "train":
-            pad_bias = None
-            if attention_mask is not None:
-                pad_bias = jnp.where(
-                    attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
-                )
-        else:
-            pad_bias = None
-            if key_pad_mask is not None:
-                pad_bias = jnp.where(
-                    key_pad_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
-                )
+        # additive self-attention key bias from padding (train); decode and
+        # prefill thread the raw key_pad_mask instead — CachedSelfAttention
+        # owns the causal/pad composition there (kernel- or bias-based)
+        pad_bias = None
+        if mode == "train" and attention_mask is not None:
+            pad_bias = jnp.where(
+                attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
+            )
 
         layer_cls = BartDecoderLayer
         if self.remat and mode == "train":
@@ -399,6 +526,8 @@ class BartCausalDecoder(nn.Module):
                 deterministic,
                 encoder_pad_bias,
                 encoder_kv_lens,
+                key_pad_mask if mode != "train" else None,
+                encoder_pad_mask,
             )
 
         if c.add_final_layer_norm:

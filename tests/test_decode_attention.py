@@ -1,0 +1,93 @@
+"""Pallas decode-attention kernel vs XLA reference (interpret mode on CPU).
+
+The kernel serves single-token decode steps over FLAT (B, L, H*D) KV caches
+(models/bart.py CachedSelfAttention / CachedCrossAttention decode mode);
+reference semantics are the masked XLA attention those modules fall back to
+on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pixparse_tpu.ops.attention import dot_product_attention
+from pixparse_tpu.ops.decode_attention import _decode_attention_local
+
+
+def _ref(q, k, v, mask, H):
+    """XLA reference on head-split views of the flat operands."""
+    B, _, HD = q.shape
+    Lk = k.shape[1]
+    D = HD // H
+    bias = jnp.where(mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
+    out = dot_product_attention(
+        q.reshape(B, 1, H, D),
+        k.reshape(B, Lk, H, D),
+        v.reshape(B, Lk, H, D),
+        bias=bias,
+    )
+    return out.reshape(B, 1, HD)
+
+
+def _rand(B, Lk, H, D, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, 1, H * D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Lk, H * D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Lk, H * D).astype(np.float32))
+    return q, k, v
+
+
+@pytest.mark.parametrize("Lk", [128, 100, 1009])
+def test_decode_attention_matches_xla(Lk):
+    B, H, D = 3, 4, 64
+    q, k, v = _rand(B, Lk, H, D, seed=Lk)
+    mask = jnp.ones((B, Lk), bool)
+    out = _decode_attention_local(q, k, v, mask, num_heads=H, interpret=True)
+    ref = _ref(q, k, v, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_decode_attention_ragged_mask():
+    """Per-sample prefix masks (the self-attn cache pattern: keys <= index,
+    finished rows padded)."""
+    B, Lk, H, D = 4, 160, 2, 32
+    q, k, v = _rand(B, Lk, H, D, seed=7)
+    rng = np.random.RandomState(7)
+    mask = np.zeros((B, Lk), bool)
+    for b, n in enumerate([1, 17, 100, 160]):
+        mask[b, :n] = True
+        # punch interior holes (pad-written finished positions)
+        if n > 4:
+            mask[b, rng.randint(1, n, 3)] = False
+    mask = jnp.asarray(mask)
+    out = _decode_attention_local(q, k, v, mask, num_heads=H, interpret=True)
+    ref = _ref(q, k, v, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_decode_attention_fully_masked_row_zeros():
+    """A row with zero visible keys must emit zeros (not an average of v)."""
+    B, Lk, H, D = 2, 128, 2, 64
+    q, k, v = _rand(B, Lk, H, D, seed=3)
+    mask = np.ones((B, Lk), bool)
+    mask[1, :] = False
+    out = _decode_attention_local(
+        q, k, v, jnp.asarray(mask), num_heads=H, interpret=True
+    )
+    assert np.all(np.asarray(out[1]) == 0.0)
+    ref = _ref(q[:1], k[:1], v[:1], jnp.asarray(mask[:1]), H)  # row 0 unaffected
+    np.testing.assert_allclose(np.asarray(out[:1]), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_decode_attention_bf16():
+    B, Lk, H, D = 2, 256, 4, 64
+    q, k, v = _rand(B, Lk, H, D, seed=11)
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    mask = jnp.ones((B, Lk), bool)
+    out = _decode_attention_local(q, k, v, mask, num_heads=H, interpret=True)
+    ref = _ref(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), mask, H
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
