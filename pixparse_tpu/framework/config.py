@@ -45,7 +45,10 @@ class TaskTrainCfg:
     opt: OptimizationCfg = field(default_factory=OptimizationCfg)
     dtype: Optional[str] = None  # compute dtype: 'bfloat16'/'bf16'/'float16'/None(fp32)
     amp: bool = True  # kept for flag parity; TPU path = bf16 compute policy
-    remat: Optional[bool] = None  # None = auto (on for large models); force with true/false
+    # None/'auto' = size heuristic; 'none'/'full'/'dots'/'mlp' force a policy
+    # ('mlp' recomputes only the wide MLP activations — the cruller_large
+    # recipe; see models/vit.py::_remat_policy)
+    remat: Optional[str] = None
     attn_impl: str = "auto"  # 'auto' (flash on TPU) | 'xla' | 'flash'
     model_name: str = ""
     mesh: MeshCfg = field(default_factory=MeshCfg)

@@ -84,7 +84,7 @@ class Pix2StructEncoder(nn.Module):
 
     cfg: Pix2StructCfg
     dtype: Dtype = jnp.float32
-    remat: bool = False
+    remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp'
     attn_impl: str = "xla"
 
     @nn.compact
@@ -137,7 +137,11 @@ class Pix2StructEncoder(nn.Module):
         if self.remat:
             # 2048-token fp32 attention scores don't fit HBM on the XLA
             # path at practical batch sizes (measured OOM at B=8 on v5e)
-            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
+            from pixparse_tpu.models.vit import _remat_policy
+
+            block_cls = nn.remat(
+                ViTBlock, static_argnums=(2,), policy=_remat_policy(self.remat)
+            )
         for i in range(c.depth):
             x = block_cls(
                 block_cfg, dtype=self.dtype, attn_impl=self.attn_impl,
@@ -205,7 +209,7 @@ class Pix2StructCruller(nn.Module):
     bart_cfg: "BartDecoderCfg"  # noqa: F821 - import below
     dtype: Dtype = jnp.float32
     max_cache_len: int = 0
-    remat: bool = False
+    remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp'
     attn_impl: str = "xla"  # train attention impl (encoder + decoder)
 
     def setup(self):

@@ -223,7 +223,12 @@ class SwinBlock(nn.Module):
             kernel_init=_init(("embed", "mlp")), bias_init=_zeros(("mlp",)),
             name="mlp_fc1",
         )(h)
+        # named for the selective remat='mlp' policy (see vit.ViTMlp)
+        from jax.ad_checkpoint import checkpoint_name
+
+        h = checkpoint_name(h, "mlp_wide")
         h = nn.gelu(h, approximate=False)
+        h = checkpoint_name(h, "mlp_wide")
         h = nn.Dense(
             self.dim, dtype=self.dtype,
             kernel_init=_init(("mlp", "embed")), bias_init=_zeros(("embed",)),

@@ -25,6 +25,7 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from pixparse_tpu.ops.attention import dot_product_attention
 
@@ -115,7 +116,13 @@ class ViTMlp(nn.Module):
             bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("mlp",)),
             name="fc1",
         )(x)
+        # named for the selective remat='mlp' policy: the (tokens, 4*D) wide
+        # activations are the dominant saved-residual allocation per block;
+        # recomputing just fc1+gelu in the backward frees them at ~1/3 of a
+        # block-forward's FLOPs (vs a whole extra forward for full remat)
+        x = checkpoint_name(x, "mlp_wide")
         x = nn.gelu(x, approximate=False)
+        x = checkpoint_name(x, "mlp_wide")
         x = nn.Dense(
             c.embed_dim,
             dtype=self.dtype,
@@ -148,9 +155,16 @@ class ViTBlock(nn.Module):
 
 
 def _remat_policy(remat):
-    """None for full remat; the dots-saveable policy for remat='dots'."""
+    """None for full remat; the dots-saveable policy for remat='dots';
+    remat='mlp' saves everything EXCEPT the named (tokens, 4*D) MLP wide
+    activations — the cheapest memory/recompute trade (cruller_large B=8
+    fits on a v5e chip with it; full remat costs a whole extra forward)."""
     if remat == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if remat == "mlp":
+        return jax.checkpoint_policies.save_anything_except_these_names(
+            "mlp_wide"
+        )
     return None
 
 

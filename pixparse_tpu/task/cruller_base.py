@@ -58,9 +58,38 @@ def _model_cfg_from_name(model_name: str, fallback: Optional[ModelCfg] = None) -
 
 def _compute_dtype(dtype_flag: Optional[str]):
     if dtype_flag in ("bfloat16", "bf16", "float16", "fp16"):
-        # fp16 has no TPU fast path; both map to bf16 (no GradScaler needed)
+        if dtype_flag in ("float16", "fp16"):
+            # make the reinterpretation of the user's flag visible in the run
+            # log rather than silently changing the numeric format
+            _logger.warning(
+                "dtype=%s has no TPU fast path; using bfloat16 instead "
+                "(no GradScaler needed — bf16 keeps fp32's exponent range)",
+                dtype_flag,
+            )
         return jnp.bfloat16
     return jnp.float32
+
+
+def resolve_remat(flag, auto):
+    """Map the ``--task.remat`` flag (string from the CLI, bool/str from
+    code) to a model remat mode: False | True (full) | 'dots' | 'mlp'."""
+    if flag is None:
+        return auto
+    if isinstance(flag, str):
+        s = flag.lower()
+        if s == "auto":
+            return auto
+        if s in ("none", "false", "0", "off"):
+            return False
+        if s in ("true", "full", "1", "on"):
+            return True
+        if s in ("dots", "mlp"):
+            return s
+        raise ValueError(
+            f"unknown remat mode {flag!r} "
+            "(auto|none|full|dots|mlp)"
+        )
+    return bool(flag)
 
 
 def _checkpoint_vocab(sd: Dict[str, np.ndarray]) -> Optional[int]:
@@ -192,6 +221,11 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         accum = max(1, cfg.opt.grad_accum_steps)
         self.num_steps_per_interval = num_batches_per_interval // accum
 
+        # gradient accumulation happens INSIDE the jitted step (micro-batch
+        # scan, make_train_step) rather than via optax.MultiSteps — no
+        # persistent full-gradient accumulator in optimizer state
+        self.grad_accum_steps = accum
+        self._accum_buffer: List[Dict[str, np.ndarray]] = []
         self.optimizer, self.scheduler = create_optimizer(
             cfg.opt,
             num_intervals=cfg.num_intervals,
@@ -199,18 +233,23 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
             updates_per_interval=max(1, self.num_steps_per_interval),
             encoder_depth=self.vit_cfg.depth,
             decoder_layers=self.bart_cfg.decoder_layers,
+            wrap_multisteps=False,
         )
         attn_impl = getattr(cfg, "attn_impl", "auto")
         if attn_impl == "auto":
             # Pallas flash attention: +47% measured train throughput on v5e;
             # XLA on CPU (interpret-mode pallas is for tests only)
             attn_impl = "flash" if jax.devices()[0].platform != "cpu" else "xla"
-        remat = getattr(cfg, "remat", None)
-        if remat is None:
-            # auto: large models (cruller_large: 2508 tokens x 24 blocks)
-            # exceed v5e HBM without remat; base-size models run faster
-            # without (measured)
-            remat = self.vit_cfg.num_tokens * self.vit_cfg.depth > 20000
+        # auto: large models (cruller_large: 2509 tokens x 24 blocks) exceed
+        # v5e HBM without remat at the reference batch size; the selective
+        # 'mlp' policy frees the wide MLP activations at ~1/3-block-forward
+        # recompute (vs a whole extra forward for full remat, docs/PERF.md).
+        # Base-size models run fastest with no remat (measured).
+        auto = (
+            "mlp" if self.vit_cfg.num_tokens * self.vit_cfg.depth > 20000
+            else False
+        )
+        remat = resolve_remat(getattr(cfg, "remat", None), auto)
         self.model = Cruller(
             self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype,
             remat=remat,
@@ -300,7 +339,8 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
             return loss, {}
 
         self.train_step_fn = make_train_step(
-            loss_fn, self.optimizer, self.device_env.mesh
+            loss_fn, self.optimizer, self.device_env.mesh,
+            grad_accum_steps=self.grad_accum_steps,
         )
         self.step_idx = 0
         self.interval_batch_idx = 0
@@ -363,7 +403,27 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
 
             raise StopTraining
         batch = self.normalize_batch(sample)
-        sharded = self.device_env.shard_batch(batch)
+        if self.grad_accum_steps > 1:
+            # buffer micro-batches; one stacked device step per accum window
+            # (reference cadence: update every k-th batch with mean grads,
+            # task_cruller_pretrain.py:244-286)
+            self._accum_buffer.append(batch)
+            if len(self._accum_buffer) < self.grad_accum_steps:
+                self.step_idx += 1
+                self.batch_idx += 1
+                self.interval_batch_idx += 1
+                self._samples_since_log += (
+                    batch["image"].shape[0] * self.device_env.process_count
+                )
+                return {"loss": self._last_loss_dev}
+            stacked = {
+                k: np.stack([mb[k] for mb in self._accum_buffer])
+                for k in batch
+            }
+            self._accum_buffer = []
+            sharded = self.device_env.shard_batch(stacked, stacked=True)
+        else:
+            sharded = self.device_env.shard_batch(batch)
         self.state, metrics = self.train_step_fn(self.state, sharded)
         self._last_loss_dev = metrics["loss"]
         # host-side counter: reading state.step would force a device sync
@@ -562,12 +622,18 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
             self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype,
             attn_impl=attn_impl,
         )
+        # eval holds no fp32 master weights: params ride in the compute
+        # dtype (bit-identical to what the per-op cast would produce; halves
+        # the weight HBM traffic that bounds the decode loop)
+        param_dtype = self.compute_dtype
         if self.resume_state_dict is not None:
             params = self.import_torch_params(
                 self.resume_state_dict, self.vit_cfg, self.bart_cfg
             )
             self.params = jax.tree_util.tree_map(
-                lambda p: jax.device_put(np.asarray(p, np.float32), replicated),
+                lambda p: jax.device_put(
+                    np.asarray(p, np.float32).astype(param_dtype), replicated
+                ),
                 params,
             )
             self.resume_state_dict = None
@@ -580,7 +646,7 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
             import flax.linen as nn
 
             self.params = jax.tree_util.tree_map(
-                lambda p: jax.device_put(p, replicated),
+                lambda p: jax.device_put(p.astype(param_dtype), replicated),
                 nn.unbox(variables["params"]),
             )
 

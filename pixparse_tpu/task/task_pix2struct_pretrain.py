@@ -80,16 +80,17 @@ class TaskPix2StructPretrain(TaskCrullerPretrain):
         attn_impl = getattr(cfg, "attn_impl", "auto")
         if attn_impl == "auto":
             attn_impl = "flash" if jax.devices()[0].platform != "cpu" else "xla"
-        remat = getattr(cfg, "remat", None)
-        if remat is None:
-            # the flash encoder handles the masked 2048-token attention
-            # without the (B, H, N, N) fp32 score tensors, so pix2struct_base
-            # B=8 trains un-rematerialized on v5e (224 ms/step = 35.6
-            # samples/s vs 12.2 rematerialized+XLA); the XLA path still OOMs
-            remat = (
-                attn_impl != "flash"
-                and self.vit_cfg.num_tokens * self.vit_cfg.depth > 20000
-            )
+        from pixparse_tpu.task.cruller_base import resolve_remat
+
+        # auto: the flash encoder handles the masked 2048-token attention
+        # without the (B, H, N, N) fp32 score tensors, so pix2struct_base
+        # B=8 trains un-rematerialized on v5e (224 ms/step = 35.6
+        # samples/s vs 12.2 rematerialized+XLA); the XLA path still OOMs
+        auto = (
+            attn_impl != "flash"
+            and self.vit_cfg.num_tokens * self.vit_cfg.depth > 20000
+        )
+        remat = resolve_remat(getattr(cfg, "remat", None), auto)
         self.model = Pix2StructCruller(
             self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype, remat=remat,
             attn_impl=attn_impl,
