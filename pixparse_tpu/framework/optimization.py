@@ -207,14 +207,21 @@ def create_optimizer(
     updates_per_interval: int,
     encoder_depth: int = 0,
     decoder_layers: int = 0,
+    wrap_multisteps: bool = True,
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     """OptimizationCfg -> (optax transformation, lr schedule). Weight-decay
     masks and layer-decay scales are computed lazily from parameter paths, so
     no param tree is needed up front.
 
     The returned transformation already includes grad clipping, weight decay
-    masking, layer-decay scaling, the LR schedule, and grad accumulation
-    (``optax.MultiSteps`` when ``grad_accum_steps > 1``).
+    masking, layer-decay scaling, the LR schedule, and — when
+    ``wrap_multisteps`` — grad accumulation (``optax.MultiSteps`` when
+    ``grad_accum_steps > 1``). Pass ``wrap_multisteps=False`` when the train
+    step accumulates micro-batch gradients itself
+    (``make_train_step(grad_accum_steps=...)``): the in-step scan holds no
+    persistent full-gradient accumulator, which MultiSteps does (~4 bytes /
+    param of optimizer state — the difference between cruller_large B=8
+    fitting on a v5e chip or not).
     """
     schedule = create_scheduler(
         cfg, num_intervals, num_warmup_intervals, updates_per_interval
@@ -271,6 +278,6 @@ def create_optimizer(
 
     chain.append(optax.scale_by_learning_rate(schedule))
     tx = optax.chain(*chain)
-    if cfg.grad_accum_steps and cfg.grad_accum_steps > 1:
+    if wrap_multisteps and cfg.grad_accum_steps and cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx, schedule

@@ -131,6 +131,7 @@ def make_train_step(
     mesh: Mesh,
     donate: bool = True,
     skip_nonfinite: bool = True,
+    grad_accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step: grad, clip/decay/schedule via ``tx``,
     apply, metrics. ``loss_fn`` closes over the model apply.
@@ -138,9 +139,20 @@ def make_train_step(
     ``skip_nonfinite``: a NaN/inf gradient step is dropped (params/opt state
     unchanged, step still counts) and surfaced via ``metrics['nonfinite']`` —
     the NaN-guard SURVEY.md §5.2 calls for (the reference has none; one bad
-    batch poisons the run)."""
+    batch poisons the run).
 
-    def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+    ``grad_accum_steps > 1``: the step consumes a STACKED batch — every leaf
+    shaped (accum, micro_B, ...) (``shard_batch(..., stacked=True)``) — and
+    accumulates mean gradients over the micro-batches with a ``lax.scan``
+    inside the step before ONE optimizer update. Unlike ``optax.MultiSteps``
+    this holds no persistent full-gradient accumulator in the optimizer
+    state (~2.6 GB fp32 for cruller_large — the config where HBM is the
+    binding constraint); the scan carry frees before the update applies.
+    Reference semantics: ``task_cruller_pretrain.py:244-286`` (grad
+    accumulation with DDP no_sync) — mean of micro-batch grads, LR schedule
+    stepped per UPDATE."""
+
+    def _step_key(state):
         # derive the per-step key from the stored raw key, then hand the
         # model an rbg-typed key: dropout masks over (B, L, 4D) activations
         # via threefry cost ~10 ms of xor-chain VPU fusions per cruller_base
@@ -151,14 +163,43 @@ def make_train_step(
         base_rng = jax.random.fold_in(state.rng, state.step)
         data = jnp.asarray(base_rng)
         if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
-            step_rng = base_rng  # already a typed key
-        elif data.shape[-1] == 4:
-            step_rng = jax.random.wrap_key_data(data, impl="rbg")
+            return base_rng  # already a typed key
+        if data.shape[-1] == 4:
+            return jax.random.wrap_key_data(data, impl="rbg")
+        return jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        step_rng = _step_key(state)
+        if grad_accum_steps > 1:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def micro(carry, xs):
+                idx, mb = xs
+                (l, aux), g = grad_fn(
+                    state.params, mb, jax.random.fold_in(step_rng, idx)
+                )
+                loss_sum, grads_sum = carry
+                return (
+                    loss_sum + l,
+                    jax.tree_util.tree_map(jnp.add, grads_sum, g),
+                ), aux
+
+            init = (
+                jnp.zeros((), jnp.float32),
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            )
+            (loss_sum, grads_sum), aux = jax.lax.scan(
+                micro, init, (jnp.arange(grad_accum_steps), batch)
+            )
+            loss = loss_sum / grad_accum_steps
+            grads = jax.tree_util.tree_map(
+                lambda g: g / grad_accum_steps, grads_sum
+            )
+            aux = jax.tree_util.tree_map(lambda a: a[-1], aux)
         else:
-            step_rng = jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, step_rng
-        )
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, step_rng
+            )
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

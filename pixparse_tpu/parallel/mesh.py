@@ -126,16 +126,29 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(("data", "fsdp"), *([None] * (ndim - 1))))
 
 
-def shard_batch(mesh: Mesh, batch):
+def stacked_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for micro-batch-stacked arrays (accum, B, ...): the batch
+    axis is dim 1; the scan axis stays replicated."""
+    return NamedSharding(
+        mesh, P(None, ("data", "fsdp"), *([None] * (ndim - 2)))
+    )
+
+
+def shard_batch(mesh: Mesh, batch, stacked: bool = False):
     """Place a host-local pytree of numpy arrays onto the mesh, batch-sharded.
 
     Single-process: a plain sharded device_put. Multi-host: each process holds
     its own slice of the global batch (per-host data loading) and
     ``make_array_from_process_local_data`` assembles the global array.
+    ``stacked``: arrays carry a leading micro-batch axis (grad accumulation);
+    the batch axis is dim 1.
     """
     def _place(x):
         x = np.asarray(x)
-        sharding = batch_sharding(mesh, x.ndim)
+        sharding = (
+            stacked_batch_sharding(mesh, x.ndim) if stacked
+            else batch_sharding(mesh, x.ndim)
+        )
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)
         return jax.make_array_from_process_local_data(sharding, x)
@@ -234,8 +247,8 @@ class MeshEnv:
         return [_unpickle_padded(row) for row in gathered]
 
     # --- data placement -----------------------------------------------------
-    def shard_batch(self, batch):
-        return shard_batch(self.mesh, batch)
+    def shard_batch(self, batch, stacked: bool = False):
+        return shard_batch(self.mesh, batch, stacked=stacked)
 
     def __str__(self):
         d = dict(zip(MESH_AXES, self.mesh.devices.shape))

@@ -199,6 +199,52 @@ def test_grad_accum_multisteps():
     assert not np.array_equal(p1, p2)  # update applied
 
 
+def test_grad_accum_scan_matches_multisteps():
+    """In-step micro-batch scan accumulation (make_train_step
+    grad_accum_steps=2, no persistent accumulator) lands the SAME parameters
+    as optax.MultiSteps fed the same two micro-batches (deterministic loss,
+    so rng threading differences don't matter)."""
+    model, vit_cfg, bart_cfg, batch = _tiny_model_and_batch(batch=16)
+    mesh = create_mesh()
+
+    def det_loss(params, b, rng):
+        logits = model.apply({"params": params}, b["image"], b["text"])
+        loss, _ = cross_entropy_loss(logits, b["target"])
+        return loss, {}
+
+    mb1 = {k: v[:8] for k, v in batch.items()}
+    mb2 = {k: v[8:] for k, v in batch.items()}
+    opt_cfg = OptimizationCfg(learning_rate=1e-3, grad_accum_steps=2)
+    example = (
+        jnp.zeros((8, *vit_cfg.img_size, vit_cfg.in_chans)),
+        jnp.zeros((8, 16), jnp.int32),
+    )
+
+    tx_m, _ = create_optimizer(opt_cfg, 10, 0, 10)
+    state_m, _ = create_train_state(model, tx_m, mesh, example, seed=0)
+    step_m = make_train_step(det_loss, tx_m, mesh)
+    state_m, _ = step_m(state_m, shard_batch(mesh, mb1))
+    state_m, _ = step_m(state_m, shard_batch(mesh, mb2))
+
+    tx_s, _ = create_optimizer(opt_cfg, 10, 0, 10, wrap_multisteps=False)
+    state_s, _ = create_train_state(model, tx_s, mesh, example, seed=0)
+    step_s = make_train_step(det_loss, tx_s, mesh, grad_accum_steps=2)
+    stacked = {k: np.stack([mb1[k], mb2[k]]) for k in batch}
+    state_s, metrics = step_s(
+        state_s, shard_batch(mesh, stacked, stacked=True)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state_s.step) == 1  # one optimizer update
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        ),
+        state_m.params,
+        state_s.params,
+    )
+
+
 # ---------------------------------------------------------------- checkpoint
 
 def test_checkpoint_roundtrip(tmp_path):
