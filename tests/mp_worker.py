@@ -43,6 +43,10 @@ def main():
         _data_plane(env, process_id, num_processes, shard_dir)
         print(f"proc {process_id}: OK", flush=True)
         return
+    if mode == "train":
+        _train_plane(env, process_id, num_processes)
+        print(f"proc {process_id}: OK", flush=True)
+        return
 
     # host-object broadcast: rank0's name reaches everyone
     name = env.broadcast_object(f"exp-{process_id}" if process_id == 0 else None)
@@ -130,6 +134,71 @@ def _data_plane(env, process_id, num_processes, shard_dir):
     expected = sum(8.0 * (r + 1) for r in range(num_processes))
     got = float(jax.device_get(total))
     assert got == expected, (got, expected)
+
+
+def _train_plane(env, process_id, num_processes):
+    """VERDICT r2 item 7: run make_train_step over a mesh SPANNING processes
+    (per-host batch slices, full optimizer chain) for 3 steps and emit the
+    loss sequence; the pytest harness asserts it equals a single-process run
+    — the distributed-grad-sync path the single-process dryrun can't see
+    (reference DDP equivalent: framework/device.py:125-135)."""
+    import json as _json
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pixparse_tpu.framework.config import OptimizationCfg
+    from pixparse_tpu.framework.optimization import create_optimizer
+    from pixparse_tpu.framework.train_state import (
+        create_train_state,
+        make_train_step,
+    )
+    from pixparse_tpu.models.config import get_model_config
+    from pixparse_tpu.models.cruller import Cruller, resolve_cruller_cfgs
+    from pixparse_tpu.ops.loss import cross_entropy_loss
+
+    cfg = get_model_config("cruller_test")
+    vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
+    model = Cruller(vit_cfg, bart_cfg)
+    opt_cfg = OptimizationCfg(
+        learning_rate=1e-3, clip_grad_value=1.0, clip_grad_mode="norm"
+    )
+    tx, _ = create_optimizer(
+        opt_cfg, 10, 1, 10,
+        encoder_depth=vit_cfg.depth, decoder_layers=bart_cfg.decoder_layers,
+    )
+    B, L = 8, 16
+    example = (
+        jnp.zeros((B, *vit_cfg.img_size, vit_cfg.in_chans)),
+        jnp.zeros((B, L), jnp.int32),
+    )
+    state, _ = create_train_state(model, tx, env.mesh, example, seed=0)
+
+    def loss_fn(params, batch, rng):
+        # deterministic forward: loss parity must not depend on how the rbg
+        # mask generator partitions across process topologies
+        logits = model.apply({"params": params}, batch["image"], batch["text"])
+        loss, _ = cross_entropy_loss(logits, batch["target"])
+        return loss, {}
+
+    step = make_train_step(loss_fn, tx, env.mesh)
+    rng = np.random.RandomState(0)
+    g = {
+        "image": rng.rand(B, *vit_cfg.img_size, vit_cfg.in_chans).astype(np.float32),
+        "text": rng.randint(4, bart_cfg.vocab_size, (B, L)).astype(np.int32),
+        "target": rng.randint(4, bart_cfg.vocab_size, (B, L)).astype(np.int32),
+    }
+    half = B // num_processes
+    local = {
+        k: v[process_id * half:(process_id + 1) * half] for k, v in g.items()
+    }
+    losses = []
+    for _ in range(3):
+        batch = env.shard_batch(local)
+        state, m = step(state, batch)
+        losses.append(float(jax.device_get(m["loss"])))
+    print(f"proc {process_id}: losses={_json.dumps(losses)}", flush=True)
 
 
 if __name__ == "__main__":
