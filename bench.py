@@ -403,6 +403,12 @@ def bench_eval_decode(
 
 
 def main():
+    # honor an explicit CPU request even under the axon sitecustomize, which
+    # pins JAX_PLATFORMS before user code runs (see .claude/skills/verify)
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 

@@ -58,7 +58,9 @@ class Cruller(nn.Module):
 
     def setup(self):
         if isinstance(self.vit_cfg, SwinCfg):
-            self.image_encoder = Swin(self.vit_cfg, dtype=self.dtype)
+            self.image_encoder = Swin(
+                self.vit_cfg, dtype=self.dtype, remat=self.remat
+            )
         else:
             self.image_encoder = ViT(
                 self.vit_cfg, dtype=self.dtype, attn_impl=self.attn_impl,

@@ -273,6 +273,7 @@ class Swin(nn.Module):
 
     cfg: SwinCfg
     dtype: Dtype = jnp.float32
+    remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp'
 
     @nn.compact
     def __call__(self, images: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -293,12 +294,20 @@ class Swin(nn.Module):
             bias_init=_zeros(("embed",)),
         )(x)
 
+        block_cls = SwinBlock
+        if self.remat:
+            # static_argnums index __call__ args with self at 0
+            from pixparse_tpu.models.vit import _remat_policy
+
+            block_cls = nn.remat(
+                SwinBlock, static_argnums=(2,), policy=_remat_policy(self.remat)
+            )
         dim = c.embed_dim
         for stage in range(c.num_stages):
             res = (gh // (2 ** stage), gw // (2 ** stage))
             for block in range(c.depths[stage]):
                 shift = 0 if block % 2 == 0 else min(c.window_size, *res) // 2
-                x = SwinBlock(
+                x = block_cls(
                     c, dim, c.num_heads[stage], res, shift,
                     dtype=self.dtype, name=f"layers_{stage}_blocks_{block}",
                 )(x, deterministic)
