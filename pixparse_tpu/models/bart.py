@@ -336,6 +336,7 @@ class BartDecoderLayer(nn.Module):
     max_cache_len: int = 0
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    mlp_remat: bool = False  # checkpoint the FFN as a pure fn (remat='mlp')
 
     @nn.compact
     def __call__(
@@ -363,17 +364,45 @@ class BartDecoderLayer(nn.Module):
             name="encoder_attn",
         )
 
-        def ffn(h):
-            from jax.ad_checkpoint import checkpoint_name
+        if self.mlp_remat:
+            # remat='mlp': the FFN runs as a pure checkpointed function —
+            # residual = its input; backward recomputes the (L, 4*D) wide
+            # fc1/gelu activations (see vit.ViTMlp / vit.DenseParams).
+            # Activation dropout is replicated manually (flax semantics:
+            # keep_prob mask, x/keep_prob) so the rng rides in as an
+            # explicit argument.
+            w1, b1 = _Proj(c.d_model, c.decoder_ffn_dim, ("embed", "mlp"), name="fc1")()
+            w2, b2 = _Proj(c.decoder_ffn_dim, c.d_model, ("mlp", "embed"), name="fc2")()
+            act_rate = c.activation_dropout
+            use_act_drop = (not deterministic) and act_rate > 0.0
+            act_key = self.make_rng("dropout") if use_act_drop else None
+            dt = self.dtype
 
-            h = _dense(c.decoder_ffn_dim, ("embed", "mlp"), "fc1", self.dtype)(h)
-            # named for the selective remat='mlp' policy (see vit.ViTMlp)
-            h = checkpoint_name(h, "mlp_wide")
-            h = nn.gelu(h, approximate=False)
-            h = checkpoint_name(h, "mlp_wide")
-            h = nn.Dropout(rate=c.activation_dropout)(h, deterministic=deterministic)
-            h = _dense(c.d_model, ("mlp", "embed"), "fc2", self.dtype)(h)
-            return dropout(h, deterministic=deterministic)
+            def ffn_fn(h, w1, b1, w2, b2, key):
+                h = h.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+                h = nn.gelu(h, approximate=False)
+                if use_act_drop:
+                    keep = 1.0 - act_rate
+                    mask = jax.random.bernoulli(key, p=keep, shape=h.shape)
+                    h = jax.lax.select(
+                        mask, h / jnp.asarray(keep, dt), jnp.zeros_like(h)
+                    )
+                return h @ w2.astype(dt) + b2.astype(dt)
+
+            ckpt_ffn = jax.checkpoint(ffn_fn)
+
+            def ffn(h):
+                return dropout(
+                    ckpt_ffn(h, w1, b1, w2, b2, act_key),
+                    deterministic=deterministic,
+                )
+        else:
+            def ffn(h):
+                h = _dense(c.decoder_ffn_dim, ("embed", "mlp"), "fc1", self.dtype)(h)
+                h = nn.gelu(h, approximate=False)
+                h = nn.Dropout(rate=c.activation_dropout)(h, deterministic=deterministic)
+                h = _dense(c.d_model, ("mlp", "embed"), "fc2", self.dtype)(h)
+                return dropout(h, deterministic=deterministic)
 
         if c.pre_norm:
             # mBART layout (the Donut decoder): LN -> sublayer -> residual
@@ -499,7 +528,8 @@ class BartCausalDecoder(nn.Module):
             )
 
         layer_cls = BartDecoderLayer
-        if self.remat and mode == "train":
+        mlp_remat = self.remat == "mlp" and mode == "train"
+        if self.remat and not mlp_remat and mode == "train":
             # trade the (B, H, L, L) fp32 attention-score tensors for
             # recompute — the dominant non-logits train allocation at L=1023
             # static_argnums index __call__ args with self at 0: mode (4)
@@ -517,7 +547,8 @@ class BartCausalDecoder(nn.Module):
             )
         for i in range(c.decoder_layers):
             x = layer_cls(
-                c, self.max_cache_len, self.dtype, self.attn_impl, name=f"layers_{i}"
+                c, self.max_cache_len, self.dtype, self.attn_impl,
+                mlp_remat, name=f"layers_{i}",
             )(
                 x,
                 encoder_hidden_states,

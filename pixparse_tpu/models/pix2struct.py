@@ -134,7 +134,8 @@ class Pix2StructEncoder(nn.Module):
         x = nn.with_logical_constraint(x, ("batch", "image_length", None))
         block_cfg = self.cfg.vit_block_cfg()
         block_cls = ViTBlock
-        if self.remat:
+        mlp_remat = self.remat == "mlp"
+        if self.remat and not mlp_remat:
             # 2048-token fp32 attention scores don't fit HBM on the XLA
             # path at practical batch sizes (measured OOM at B=8 on v5e)
             from pixparse_tpu.models.vit import _remat_policy
@@ -145,7 +146,7 @@ class Pix2StructEncoder(nn.Module):
         for i in range(c.depth):
             x = block_cls(
                 block_cfg, dtype=self.dtype, attn_impl=self.attn_impl,
-                name=f"blocks_{i}"
+                mlp_remat=mlp_remat, name=f"blocks_{i}"
             )(x, deterministic, None, kv_lens)
         x = nn.LayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name="norm",

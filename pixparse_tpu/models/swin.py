@@ -176,6 +176,7 @@ class SwinBlock(nn.Module):
     resolution: Tuple[int, int]
     shift: int
     dtype: Dtype = jnp.float32
+    mlp_remat: bool = False  # checkpoint the MLP as a pure fn (remat='mlp')
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
@@ -218,23 +219,22 @@ class SwinBlock(nn.Module):
         shortcut = x
         h = ln("norm2")(x)
         hidden = int(self.dim * c.mlp_ratio)
-        h = nn.Dense(
-            hidden, dtype=self.dtype,
-            kernel_init=_init(("embed", "mlp")), bias_init=_zeros(("mlp",)),
-            name="mlp_fc1",
-        )(h)
-        # named for the selective remat='mlp' policy (see vit.ViTMlp)
-        from jax.ad_checkpoint import checkpoint_name
+        # declare-only params so the MLP can run as a pure checkpointed fn
+        # under remat='mlp' (see vit.DenseParams; same init/paths as Dense)
+        from pixparse_tpu.models.vit import DenseParams
 
-        h = checkpoint_name(h, "mlp_wide")
-        h = nn.gelu(h, approximate=False)
-        h = checkpoint_name(h, "mlp_wide")
-        h = nn.Dense(
-            self.dim, dtype=self.dtype,
-            kernel_init=_init(("mlp", "embed")), bias_init=_zeros(("embed",)),
-            name="mlp_fc2",
-        )(h)
-        return shortcut + h
+        w1, b1 = DenseParams(self.dim, hidden, ("embed", "mlp"), name="mlp_fc1")()
+        w2, b2 = DenseParams(hidden, self.dim, ("mlp", "embed"), name="mlp_fc2")()
+        dt = self.dtype
+
+        def mlp_fn(h, w1, b1, w2, b2):
+            h = h.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+            h = nn.gelu(h, approximate=False)
+            return h @ w2.astype(dt) + b2.astype(dt)
+
+        if self.mlp_remat:
+            mlp_fn = jax.checkpoint(mlp_fn)
+        return shortcut + mlp_fn(h, w1, b1, w2, b2)
 
 
 class PatchMerging(nn.Module):
@@ -295,7 +295,8 @@ class Swin(nn.Module):
         )(x)
 
         block_cls = SwinBlock
-        if self.remat:
+        mlp_remat = self.remat == "mlp"
+        if self.remat and not mlp_remat:
             # static_argnums index __call__ args with self at 0
             from pixparse_tpu.models.vit import _remat_policy
 
@@ -309,7 +310,8 @@ class Swin(nn.Module):
                 shift = 0 if block % 2 == 0 else min(c.window_size, *res) // 2
                 x = block_cls(
                     c, dim, c.num_heads[stage], res, shift,
-                    dtype=self.dtype, name=f"layers_{stage}_blocks_{block}",
+                    dtype=self.dtype, mlp_remat=mlp_remat,
+                    name=f"layers_{stage}_blocks_{block}",
                 )(x, deterministic)
             if stage < c.num_stages - 1:
                 x = PatchMerging(c, dim, dtype=self.dtype, name=f"layers_{stage}_downsample")(x)

@@ -25,7 +25,6 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from jax.ad_checkpoint import checkpoint_name
 
 from pixparse_tpu.ops.attention import dot_product_attention
 
@@ -66,6 +65,36 @@ def _dense_init(logical_axes):
     )
 
 
+class DenseParams(nn.Module):
+    """Declares a Dense-layout param pair (``kernel``, ``bias``) WITHOUT
+    applying it — identical param-tree paths/shapes/init to ``nn.Dense``, but
+    the caller owns the matmul. Lets the MLP run as a PURE function under
+    ``jax.checkpoint`` (remat='mlp': residual = the MLP input only; backward
+    recomputes fc1+gelu). Wrapping whole blocks in ``nn.remat`` with a
+    save-everything-except policy was measured to *triple* peak HBM on
+    cruller_large: every policy-saveable intermediate becomes an explicit
+    residual, defeating XLA's fusion-level memory elision."""
+
+    in_features: int
+    features: int
+    logical: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _dense_init(self.logical),
+            (self.in_features, self.features),
+        )
+        bias = self.param(
+            "bias",
+            nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), (self.logical[-1],)
+            ),
+            (self.features,),
+        )
+        return kernel, bias
+
+
 class ViTAttention(nn.Module):
     cfg: ViTCfg
     dtype: Dtype = jnp.float32
@@ -104,39 +133,35 @@ class ViTAttention(nn.Module):
 class ViTMlp(nn.Module):
     cfg: ViTCfg
     dtype: Dtype = jnp.float32
+    remat: bool = False  # checkpoint the MLP as a pure fn (remat='mlp')
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         c = self.cfg
         hidden = int(c.embed_dim * c.mlp_ratio)
-        x = nn.Dense(
-            hidden,
-            dtype=self.dtype,
-            kernel_init=_dense_init(("embed", "mlp")),
-            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("mlp",)),
-            name="fc1",
-        )(x)
-        # named for the selective remat='mlp' policy: the (tokens, 4*D) wide
-        # activations are the dominant saved-residual allocation per block;
-        # recomputing just fc1+gelu in the backward frees them at ~1/3 of a
-        # block-forward's FLOPs (vs a whole extra forward for full remat)
-        x = checkpoint_name(x, "mlp_wide")
-        x = nn.gelu(x, approximate=False)
-        x = checkpoint_name(x, "mlp_wide")
-        x = nn.Dense(
-            c.embed_dim,
-            dtype=self.dtype,
-            kernel_init=_dense_init(("mlp", "embed")),
-            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
-            name="fc2",
-        )(x)
-        return x
+        w1, b1 = DenseParams(c.embed_dim, hidden, ("embed", "mlp"), name="fc1")()
+        w2, b2 = DenseParams(hidden, c.embed_dim, ("mlp", "embed"), name="fc2")()
+        dt = self.dtype
+
+        def mlp_fn(x, w1, b1, w2, b2):
+            h = x.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+            h = nn.gelu(h, approximate=False)
+            return h @ w2.astype(dt) + b2.astype(dt)
+
+        if self.remat:
+            # residual = x only; backward recomputes the (tokens, 4*D) wide
+            # fc1/gelu activations — the dominant per-block allocation — at
+            # ~1/3 of a block-forward's FLOPs (vs a whole extra forward for
+            # full remat)
+            mlp_fn = jax.checkpoint(mlp_fn)
+        return mlp_fn(x, w1, b1, w2, b2)
 
 
 class ViTBlock(nn.Module):
     cfg: ViTCfg
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    mlp_remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, pad_bias=None,
@@ -150,21 +175,20 @@ class ViTBlock(nn.Module):
         x = x + ViTAttention(c, dtype=self.dtype, attn_impl=self.attn_impl, name="attn")(
             ln("norm1")(x), deterministic, pad_bias, kv_lens
         )
-        x = x + ViTMlp(c, dtype=self.dtype, name="mlp")(ln("norm2")(x), deterministic)
+        x = x + ViTMlp(c, dtype=self.dtype, remat=self.mlp_remat, name="mlp")(
+            ln("norm2")(x), deterministic
+        )
         return x
 
 
 def _remat_policy(remat):
-    """None for full remat; the dots-saveable policy for remat='dots';
-    remat='mlp' saves everything EXCEPT the named (tokens, 4*D) MLP wide
-    activations — the cheapest memory/recompute trade (cruller_large B=8
-    fits on a v5e chip with it; full remat costs a whole extra forward)."""
+    """None for full remat; the dots-saveable policy for remat='dots'.
+    remat='mlp' is NOT a block-level policy: it checkpoints only the MLP as
+    a pure function (see :class:`DenseParams` / :class:`ViTMlp`) — a
+    block-level save-everything-except-names policy was measured to
+    *triple* peak HBM (every saveable intermediate materializes)."""
     if remat == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-    if remat == "mlp":
-        return jax.checkpoint_policies.save_anything_except_these_names(
-            "mlp_wide"
-        )
     return None
 
 
@@ -227,15 +251,17 @@ class ViT(nn.Module):
 
         x = nn.with_logical_constraint(x, ("batch", "image_length", None))
         block_cls = ViTBlock
-        if self.remat:
+        mlp_remat = self.remat == "mlp"
+        if self.remat and not mlp_remat:
             # static_argnums index __call__ args with self at 0
             block_cls = nn.remat(
                 ViTBlock, static_argnums=(2,), policy=_remat_policy(self.remat)
             )
         for i in range(c.depth):
-            x = block_cls(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")(
-                x, deterministic
-            )
+            x = block_cls(
+                c, dtype=self.dtype, attn_impl=self.attn_impl,
+                mlp_remat=mlp_remat, name=f"blocks_{i}",
+            )(x, deterministic)
         x = nn.LayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name="norm",
             scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),

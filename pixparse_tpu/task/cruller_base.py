@@ -205,6 +205,10 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
         self._samples_since_log = 0
         self._last_loss_dev = None  # device scalar; materialized lazily
         self._flops_per_sample_step = None  # filled on first logged batch
+        # defaults so subclasses overriding train_setup (xent) keep working;
+        # train_setup re-derives them from cfg.opt
+        self.grad_accum_steps = max(1, cfg.opt.grad_accum_steps)
+        self._accum_buffer: List[Dict[str, np.ndarray]] = []
 
     # ------------------------------------------------------------------
     def prepare_image(self, img) -> np.ndarray:
@@ -505,8 +509,16 @@ class BaseCrullerTrainTask(TaskTrain, CrullerVocabMixin):
                 self.task_start_token, add_special_tokens=False, return_tensors="np"
             ).input_ids.astype(np.int32)
             prompt = np.tile(prompt_ids, (n, 1))
-            enc = self.model.apply(
-                {"params": self.state.params}, jnp.asarray(images), method="encode"
+            # jitted encode: an unjitted apply dispatches the encoder
+            # op-by-op (~16x slower measured through the remote transport)
+            if not hasattr(self, "_recon_encode_jit"):
+                self._recon_encode_jit = jax.jit(
+                    lambda p, im: self.model.apply(
+                        {"params": p}, im, method="encode"
+                    )
+                )
+            enc = self._recon_encode_jit(
+                self.state.params, jnp.asarray(images)
             )
             result = generate(
                 self.model,

@@ -78,6 +78,8 @@ class TaskCrullerFinetuneXent(BaseCrullerTrainTask):
     def train_setup(self, num_batches_per_interval: int, **kwargs):
         cfg = self.cfg
         accum = max(1, cfg.opt.grad_accum_steps)
+        self.grad_accum_steps = accum
+        self._accum_buffer = []
         self.num_steps_per_interval = num_batches_per_interval // accum
         self.optimizer, self.scheduler = create_optimizer(
             cfg.opt,
@@ -86,6 +88,7 @@ class TaskCrullerFinetuneXent(BaseCrullerTrainTask):
             updates_per_interval=max(1, self.num_steps_per_interval),
             encoder_depth=self.vit_cfg.depth,
             decoder_layers=0,
+            wrap_multisteps=False,
         )
         self.model = CrullerClassifier(self.vit_cfg, dtype=self.compute_dtype)
         example = (
@@ -130,7 +133,10 @@ class TaskCrullerFinetuneXent(BaseCrullerTrainTask):
             acc = (logits.argmax(-1) == labels).mean()
             return loss, {"accuracy": acc}
 
-        self.train_step_fn = make_train_step(loss_fn, self.optimizer, self.device_env.mesh)
+        self.train_step_fn = make_train_step(
+            loss_fn, self.optimizer, self.device_env.mesh,
+            grad_accum_steps=self.grad_accum_steps,
+        )
         self.step_idx = 0
         self.interval_batch_idx = 0
 
