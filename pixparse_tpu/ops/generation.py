@@ -231,10 +231,21 @@ class BeamResult(NamedTuple):
 
 def _gather_beam_cache(cache, flat_idx):
     """Reorder per-sequence cache rows (leading dim B*K); scalar counters
-    (cache_index / position_offset) are shared and pass through."""
-    return jax.tree_util.tree_map(
-        lambda c: c if c.ndim == 0 else c[flat_idx], cache
-    )
+    (cache_index / position_offset) are shared and pass through.
+
+    Cross-attention caches (``cached_enc_*``) are SKIPPED: every beam of a
+    sample shares the same encoder output (``repeat(enc, K)``), and beam
+    reordering only permutes within a sample, so the gather would copy
+    hundreds of MB per step (B*K, Lk, H*D) to produce an identical array."""
+
+    def gather(path, c):
+        if c.ndim == 0:
+            return c
+        if any("cached_enc" in str(p) for p in path):
+            return c
+        return c[flat_idx]
+
+    return jax.tree_util.tree_map_with_path(gather, cache)
 
 
 @functools.partial(

@@ -79,6 +79,27 @@ def test_decode_attention_fully_masked_row_zeros():
     np.testing.assert_allclose(np.asarray(out[:1]), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_decode_attention_shard_map_parity():
+    """The >1-device mesh dispatch (shard_map: batch over (data, fsdp),
+    whole-head chunks over model) must equal the single-shard kernel."""
+    from pixparse_tpu.ops.decode_attention import decode_attention
+    from pixparse_tpu.parallel.mesh import create_mesh
+
+    B, Lk, H, D = 8, 128, 4, 64
+    q, k, v = _rand(B, Lk, H, D, seed=5)
+    mask = np.ones((B, Lk), bool)
+    mask[2, 40:] = False
+    mask = jnp.asarray(mask)
+    ref = _ref(q, k, v, mask, H)
+
+    mesh = create_mesh(data=2, fsdp=2, model=2)
+    with mesh:
+        out = decode_attention(q, k, v, mask, num_heads=H, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_decode_attention_bf16():
     B, Lk, H, D = 2, 256, 4, 64
     q, k, v = _rand(B, Lk, H, D, seed=11)
