@@ -459,6 +459,25 @@ def test_pix2struct_auto_remat_off_with_flash():
     assert task2.model.remat is expected
 
 
+def test_resolve_remat_flag_mapping():
+    """--task.remat string flags -> model remat modes (auto|none|full|dots|mlp)."""
+    import pytest as _pytest
+
+    from pixparse_tpu.task.cruller_base import resolve_remat
+
+    assert resolve_remat(None, "mlp") == "mlp"
+    assert resolve_remat("auto", False) is False
+    assert resolve_remat("none", "mlp") is False
+    assert resolve_remat("false", True) is False
+    assert resolve_remat("full", False) is True
+    assert resolve_remat("true", False) is True
+    assert resolve_remat("dots", False) == "dots"
+    assert resolve_remat("mlp", False) == "mlp"
+    assert resolve_remat(True, False) is True
+    with _pytest.raises(ValueError):
+        resolve_remat("bogus", False)
+
+
 def test_eval_generate_flash_matches_xla_encode():
     """The eval path now auto-selects flash encode on TPU; the generated
     tokens must be identical (within greedy-argmax stability) to the XLA
