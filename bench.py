@@ -499,9 +499,10 @@ def main():
             )
             extra["donut_base_step_ms"] = donut["step_ms"]
             ddec = bench_eval_decode(
-                donut_name, max(donut_bs, 2), decode_len,
-                max(decode_steps // 2, 2), dtype, reps=decode_reps,
-                label="eval/donut_decode", image_size=donut_size,
+                donut_name, max(donut_bs, 8) if on_accelerator else 2,
+                decode_len, max(decode_steps // 2, 2), dtype,
+                reps=decode_reps, label="eval/donut_decode",
+                image_size=donut_size,
             )
             extra["donut_base_decode_pages_per_sec_per_chip"] = (
                 ddec["pages_per_sec_per_chip"]

@@ -72,14 +72,39 @@ def transformer_layer_flops(L: int, D: int, F: int, cross_Lk: int = 0) -> float:
     return float(self_attn + ffn + cross)
 
 
+def swin_encoder_flops(cfg) -> float:
+    """Forward matmul FLOPs for a Swin encoder (per-stage resolutions/dims,
+    WINDOWED attention: the score/value term is N*w^2, not N^2)."""
+    gh = cfg.img_size[0] // cfg.patch_size
+    gw = cfg.img_size[1] // cfg.patch_size
+    w2 = cfg.window_size ** 2
+    total = 2 * gh * gw * (cfg.patch_size ** 2 * cfg.in_chans) * cfg.embed_dim
+    for stage, depth in enumerate(cfg.depths):
+        N = (gh // (2 ** stage)) * (gw // (2 ** stage))
+        D = cfg.embed_dim * (2 ** stage)
+        per_block = (
+            8 * N * D * D            # qkv + out projections
+            + 4 * N * w2 * D         # windowed score + value matmuls
+            + 4 * N * D * int(D * cfg.mlp_ratio)  # FFN
+        )
+        total += depth * per_block
+        if stage < len(cfg.depths) - 1:
+            total += 2 * (N // 4) * (4 * D) * (2 * D)  # patch merging
+    return float(total)
+
+
 def cruller_train_flops(vit_cfg, bart_cfg, batch_size: int, text_len: int) -> float:
-    """Matmul FLOPs for one fwd+bwd Cruller train step (bwd = 2x fwd)."""
+    """Matmul FLOPs for one fwd+bwd Cruller train step (bwd = 2x fwd).
+    Dispatches on encoder family (ViT full attention vs Swin windowed)."""
     N = vit_cfg.num_tokens
-    D = vit_cfg.embed_dim
-    enc = 2 * N * (vit_cfg.patch_size ** 2 * vit_cfg.in_chans) * D
-    enc += vit_cfg.depth * transformer_layer_flops(
-        N, D, int(D * vit_cfg.mlp_ratio)
-    )
+    if hasattr(vit_cfg, "depths"):  # SwinCfg
+        enc = swin_encoder_flops(vit_cfg)
+    else:
+        D = vit_cfg.embed_dim
+        enc = 2 * N * (vit_cfg.patch_size ** 2 * vit_cfg.in_chans) * D
+        enc += vit_cfg.depth * transformer_layer_flops(
+            N, D, int(D * vit_cfg.mlp_ratio)
+        )
     Dd = bart_cfg.d_model
     dec = bart_cfg.decoder_layers * transformer_layer_flops(
         text_len, Dd, bart_cfg.decoder_ffn_dim, cross_Lk=N
