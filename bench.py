@@ -250,17 +250,19 @@ def bench_train_pipeline(
 
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     n_pages = min(96, batch_size * 4)
+    n_shards = 4  # loader parallelism is shard-granular (worker per stream)
     with tempfile.TemporaryDirectory(dir=tmp_root) as td:
-        # 2 shards: exercises multi-shard interleave; pipe mode additionally
-        # covers the subprocess-streaming source path
-        for si in range(2):
+        # multi-shard interleave; pipe mode additionally covers the
+        # subprocess-streaming source path (reference: pipe:aws s3 cp ...)
+        for si in range(n_shards):
             shard = os.path.join(td, f"bench-{si:05d}.tar")
-            _note(f"bench[train/pipeline]: generating shard {si} ({n_pages // 2} pages)...")
-            _make_shard(shard, n_pages // 2, seed=si)
+            _note(f"bench[train/pipeline]: generating shard {si} ({n_pages // n_shards} pages)...")
+            _make_shard(shard, n_pages // n_shards, seed=si)
+        brace = "bench-{00000..%05d}.tar" % (n_shards - 1)
         if pipe_source:
-            source = "pipe:cat " + os.path.join(td, "bench-{00000..00001}.tar")
+            source = "pipe:cat " + os.path.join(td, brace)
         else:
-            source = os.path.join(td, "bench-{00000..00001}.tar")
+            source = os.path.join(td, brace)
 
         env = MeshEnv.initialize()
         task_cfg = TaskCrullerPretrainCfg(
