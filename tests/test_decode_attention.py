@@ -100,6 +100,40 @@ def test_decode_attention_shard_map_parity():
     )
 
 
+def test_decode_attention_sharded_no_allgather():
+    """Compiled HLO under a 2x2x2 mesh must not all-gather the batch-sharded
+    caches — a bare pallas_call under pjit would be replicated by the SPMD
+    partitioner (full-batch all-gather per chip)."""
+    import re
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from pixparse_tpu.ops.decode_attention import decode_attention
+    from pixparse_tpu.parallel.mesh import create_mesh
+
+    B, Lk, H, D = 8, 256, 4, 64
+    q, k, v = _rand(B, Lk, H, D, seed=9)
+    mask = jnp.ones((B, Lk), bool)
+    mesh = create_mesh(data=2, fsdp=2, model=2)
+    spec = NamedSharding(mesh, P(("data", "fsdp"), None, "model"))
+    q = jax.device_put(q, spec)
+    k = jax.device_put(k, spec)
+    v = jax.device_put(v, spec)
+    mask = jax.device_put(mask, NamedSharding(mesh, P(("data", "fsdp"), None)))
+    with mesh:
+        hlo = (
+            jax.jit(
+                lambda q, k, v, m: decode_attention(
+                    q, k, v, m, num_heads=H, interpret=True
+                )
+            )
+            .lower(q, k, v, mask).compile().as_text()
+        )
+    for m in re.finditer(r"all-gather[^\n]*", hlo):
+        assert str(B * Lk) not in m.group(0), m.group(0)
+
+
 def test_decode_attention_bf16():
     B, Lk, H, D = 2, 256, 4, 64
     q, k, v = _rand(B, Lk, H, D, seed=11)
