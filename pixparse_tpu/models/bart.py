@@ -336,7 +336,7 @@ class BartDecoderLayer(nn.Module):
     max_cache_len: int = 0
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
-    mlp_remat: bool = False  # checkpoint the FFN as a pure fn (remat='mlp')
+    mlp_remat: Any = False  # False | 'mlp' | 'gelu' (see vit.mlp_forward)
 
     @nn.compact
     def __call__(
@@ -367,10 +367,13 @@ class BartDecoderLayer(nn.Module):
         if self.mlp_remat:
             # remat='mlp': the FFN runs as a pure checkpointed function —
             # residual = its input; backward recomputes the (L, 4*D) wide
-            # fc1/gelu activations (see vit.ViTMlp / vit.DenseParams).
-            # Activation dropout is replicated manually (flax semantics:
-            # keep_prob mask, x/keep_prob) so the rng rides in as an
-            # explicit argument.
+            # fc1/gelu activations (see vit.mlp_forward / vit.DenseParams).
+            # remat='gelu': checkpoint only gelu(+act-dropout)+fc2 —
+            # residual = the fc1 output; backward recomputes just the
+            # elementwise tail (half the memory win, ~none of the matmul
+            # recompute). Activation dropout is replicated manually (flax
+            # semantics: keep_prob mask, x/keep_prob) so the rng rides in
+            # as an explicit argument to the checkpointed function.
             w1, b1 = _Proj(c.d_model, c.decoder_ffn_dim, ("embed", "mlp"), name="fc1")()
             w2, b2 = _Proj(c.decoder_ffn_dim, c.d_model, ("mlp", "embed"), name="fc2")()
             act_rate = c.activation_dropout
@@ -378,8 +381,10 @@ class BartDecoderLayer(nn.Module):
             act_key = self.make_rng("dropout") if use_act_drop else None
             dt = self.dtype
 
-            def ffn_fn(h, w1, b1, w2, b2, key):
-                h = h.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+            def ffn_head(h, w1, b1):
+                return h.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+
+            def ffn_tail(h, w2, b2, key):
                 h = nn.gelu(h, approximate=False)
                 if use_act_drop:
                     keep = 1.0 - act_rate
@@ -389,13 +394,25 @@ class BartDecoderLayer(nn.Module):
                     )
                 return h @ w2.astype(dt) + b2.astype(dt)
 
-            ckpt_ffn = jax.checkpoint(ffn_fn)
+            if self.mlp_remat == "gelu":
+                ckpt_tail = jax.checkpoint(ffn_tail)
 
-            def ffn(h):
-                return dropout(
-                    ckpt_ffn(h, w1, b1, w2, b2, act_key),
-                    deterministic=deterministic,
-                )
+                def ffn(h):
+                    return dropout(
+                        ckpt_tail(ffn_head(h, w1, b1), w2, b2, act_key),
+                        deterministic=deterministic,
+                    )
+            else:
+                def ffn_fn(h, w1, b1, w2, b2, key):
+                    return ffn_tail(ffn_head(h, w1, b1), w2, b2, key)
+
+                ckpt_ffn = jax.checkpoint(ffn_fn)
+
+                def ffn(h):
+                    return dropout(
+                        ckpt_ffn(h, w1, b1, w2, b2, act_key),
+                        deterministic=deterministic,
+                    )
         else:
             def ffn(h):
                 h = _dense(c.decoder_ffn_dim, ("embed", "mlp"), "fc1", self.dtype)(h)
@@ -457,7 +474,7 @@ class BartCausalDecoder(nn.Module):
     cfg: BartDecoderCfg
     max_cache_len: int = 0
     dtype: Dtype = jnp.float32
-    remat: Any = False  # False | True/"full" | "dots" (see vit._remat_policy)
+    remat: Any = False  # False | True/"full" | "dots" | "mlp" | "gelu"
     attn_impl: str = "xla"
 
     @nn.compact
@@ -528,7 +545,10 @@ class BartCausalDecoder(nn.Module):
             )
 
         layer_cls = BartDecoderLayer
-        mlp_remat = self.remat == "mlp" and mode == "train"
+        mlp_remat = (
+            self.remat if self.remat in ("mlp", "gelu") and mode == "train"
+            else False
+        )
         if self.remat and not mlp_remat and mode == "train":
             # trade the (B, H, L, L) fp32 attention-score tensors for
             # recompute — the dominant non-logits train allocation at L=1023

@@ -84,7 +84,7 @@ class Pix2StructEncoder(nn.Module):
 
     cfg: Pix2StructCfg
     dtype: Dtype = jnp.float32
-    remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp'
+    remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp' | 'gelu'
     attn_impl: str = "xla"
 
     @nn.compact
@@ -134,7 +134,7 @@ class Pix2StructEncoder(nn.Module):
         x = nn.with_logical_constraint(x, ("batch", "image_length", None))
         block_cfg = self.cfg.vit_block_cfg()
         block_cls = ViTBlock
-        mlp_remat = self.remat == "mlp"
+        mlp_remat = self.remat if self.remat in ("mlp", "gelu") else False
         if self.remat and not mlp_remat:
             # 2048-token fp32 attention scores don't fit HBM on the XLA
             # path at practical batch sizes (measured OOM at B=8 on v5e)
@@ -210,7 +210,7 @@ class Pix2StructCruller(nn.Module):
     bart_cfg: "BartDecoderCfg"  # noqa: F821 - import below
     dtype: Dtype = jnp.float32
     max_cache_len: int = 0
-    remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp'
+    remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp' | 'gelu'
     attn_impl: str = "xla"  # train attention impl (encoder + decoder)
 
     def setup(self):

@@ -176,7 +176,7 @@ class SwinBlock(nn.Module):
     resolution: Tuple[int, int]
     shift: int
     dtype: Dtype = jnp.float32
-    mlp_remat: bool = False  # checkpoint the MLP as a pure fn (remat='mlp')
+    mlp_remat: "bool | str" = False  # False | 'mlp' | 'gelu' (vit.mlp_forward)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
@@ -220,21 +220,14 @@ class SwinBlock(nn.Module):
         h = ln("norm2")(x)
         hidden = int(self.dim * c.mlp_ratio)
         # declare-only params so the MLP can run as a pure checkpointed fn
-        # under remat='mlp' (see vit.DenseParams; same init/paths as Dense)
-        from pixparse_tpu.models.vit import DenseParams
+        # under remat='mlp'/'gelu' (see vit.DenseParams / vit.mlp_forward)
+        from pixparse_tpu.models.vit import DenseParams, mlp_forward
 
         w1, b1 = DenseParams(self.dim, hidden, ("embed", "mlp"), name="mlp_fc1")()
         w2, b2 = DenseParams(hidden, self.dim, ("mlp", "embed"), name="mlp_fc2")()
-        dt = self.dtype
-
-        def mlp_fn(h, w1, b1, w2, b2):
-            h = h.astype(dt) @ w1.astype(dt) + b1.astype(dt)
-            h = nn.gelu(h, approximate=False)
-            return h @ w2.astype(dt) + b2.astype(dt)
-
-        if self.mlp_remat:
-            mlp_fn = jax.checkpoint(mlp_fn)
-        return shortcut + mlp_fn(h, w1, b1, w2, b2)
+        return shortcut + mlp_forward(
+            h, w1, b1, w2, b2, self.dtype, remat=self.mlp_remat
+        )
 
 
 class PatchMerging(nn.Module):
@@ -273,7 +266,7 @@ class Swin(nn.Module):
 
     cfg: SwinCfg
     dtype: Dtype = jnp.float32
-    remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp'
+    remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp' | 'gelu'
 
     @nn.compact
     def __call__(self, images: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -295,7 +288,7 @@ class Swin(nn.Module):
         )(x)
 
         block_cls = SwinBlock
-        mlp_remat = self.remat == "mlp"
+        mlp_remat = self.remat if self.remat in ("mlp", "gelu") else False
         if self.remat and not mlp_remat:
             # static_argnums index __call__ args with self at 0
             from pixparse_tpu.models.vit import _remat_policy

@@ -95,6 +95,43 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+def mlp_forward(x, w1, b1, w2, b2, dt, remat=False):
+    """fc1 -> gelu -> fc2 with a selectable checkpoint cut (shared by the
+    ViT / Swin / pix2struct encoders).
+
+    remat == 'mlp':  checkpoint the WHOLE MLP as a pure function — residual
+        is the MLP input only; backward recomputes fc1+gelu, freeing both
+        (tokens, 4*D) wide activations at ~1/3 of a block-forward's FLOPs.
+    remat == 'gelu': checkpoint gelu+fc2 — residual is the fc1 OUTPUT;
+        backward recomputes only the elementwise gelu (fc2's recomputed
+        output is dead code and DCE'd), freeing the gelu output at near-zero
+        recompute cost. Half of 'mlp''s memory win, none of its matmul
+        recompute — the sweet spot when the no-remat config misses HBM by
+        less than one wide activation per block (cruller_large B=8,
+        docs/PERF.md).
+
+    Checkpointing gelu ALONE would save nothing: its output is still the
+    fc2 matmul's residual — the cut must include the consuming matmul.
+    """
+
+    def head(x, w1, b1):
+        return x.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+
+    def tail(h, w2, b2):
+        g = nn.gelu(h, approximate=False)
+        return g @ w2.astype(dt) + b2.astype(dt)
+
+    if remat == "gelu":
+        return jax.checkpoint(tail)(head(x, w1, b1), w2, b2)
+
+    def mlp_fn(x, w1, b1, w2, b2):
+        return tail(head(x, w1, b1), w2, b2)
+
+    if remat:  # 'mlp' (or legacy truthy)
+        mlp_fn = jax.checkpoint(mlp_fn)
+    return mlp_fn(x, w1, b1, w2, b2)
+
+
 class ViTAttention(nn.Module):
     cfg: ViTCfg
     dtype: Dtype = jnp.float32
@@ -133,7 +170,8 @@ class ViTAttention(nn.Module):
 class ViTMlp(nn.Module):
     cfg: ViTCfg
     dtype: Dtype = jnp.float32
-    remat: bool = False  # checkpoint the MLP as a pure fn (remat='mlp')
+    # False | 'mlp' | 'gelu' — selective checkpoint cut (see mlp_forward)
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -141,27 +179,14 @@ class ViTMlp(nn.Module):
         hidden = int(c.embed_dim * c.mlp_ratio)
         w1, b1 = DenseParams(c.embed_dim, hidden, ("embed", "mlp"), name="fc1")()
         w2, b2 = DenseParams(hidden, c.embed_dim, ("mlp", "embed"), name="fc2")()
-        dt = self.dtype
-
-        def mlp_fn(x, w1, b1, w2, b2):
-            h = x.astype(dt) @ w1.astype(dt) + b1.astype(dt)
-            h = nn.gelu(h, approximate=False)
-            return h @ w2.astype(dt) + b2.astype(dt)
-
-        if self.remat:
-            # residual = x only; backward recomputes the (tokens, 4*D) wide
-            # fc1/gelu activations — the dominant per-block allocation — at
-            # ~1/3 of a block-forward's FLOPs (vs a whole extra forward for
-            # full remat)
-            mlp_fn = jax.checkpoint(mlp_fn)
-        return mlp_fn(x, w1, b1, w2, b2)
+        return mlp_forward(x, w1, b1, w2, b2, self.dtype, remat=self.remat)
 
 
 class ViTBlock(nn.Module):
     cfg: ViTCfg
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
-    mlp_remat: bool = False
+    mlp_remat: Any = False  # False | 'mlp' | 'gelu'
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, pad_bias=None,
@@ -201,6 +226,7 @@ class ViT(nn.Module):
     # False | True/"full" (recompute everything) | "dots" (save matmul
     # outputs, recompute elementwise — jax dots_with_no_batch_dims policy:
     # most of full remat's memory win at a fraction of the recompute)
+    # | "mlp" / "gelu" (selective per-MLP checkpoint cuts, see mlp_forward)
     remat: Any = False
 
     @nn.compact
@@ -251,7 +277,7 @@ class ViT(nn.Module):
 
         x = nn.with_logical_constraint(x, ("batch", "image_length", None))
         block_cls = ViTBlock
-        mlp_remat = self.remat == "mlp"
+        mlp_remat = self.remat if self.remat in ("mlp", "gelu") else False
         if self.remat and not mlp_remat:
             # static_argnums index __call__ args with self at 0
             block_cls = nn.remat(

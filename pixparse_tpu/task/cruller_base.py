@@ -72,7 +72,8 @@ def _compute_dtype(dtype_flag: Optional[str]):
 
 def resolve_remat(flag, auto):
     """Map the ``--task.remat`` flag (string from the CLI, bool/str from
-    code) to a model remat mode: False | True (full) | 'dots' | 'mlp'."""
+    code) to a model remat mode: False | True (full) | 'dots' | 'mlp' |
+    'gelu' (cheapest: checkpoint only gelu+fc2, see vit.mlp_forward)."""
     if flag is None:
         return auto
     if isinstance(flag, str):
@@ -83,11 +84,11 @@ def resolve_remat(flag, auto):
             return False
         if s in ("true", "full", "1", "on"):
             return True
-        if s in ("dots", "mlp"):
+        if s in ("dots", "mlp", "gelu"):
             return s
         raise ValueError(
             f"unknown remat mode {flag!r} "
-            "(auto|none|full|dots|mlp)"
+            "(auto|none|full|dots|mlp|gelu)"
         )
     return bool(flag)
 

@@ -193,7 +193,7 @@ def test_pre_norm_decoder_cached_decode_matches_parallel():
     np.testing.assert_allclose(np.asarray(step_logits), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("remat", [True, "dots", "mlp"])
+@pytest.mark.parametrize("remat", [True, "dots", "mlp", "gelu"])
 def test_remat_modes_match_no_remat_grads(remat):
     """Full remat and the dots-saveable policy must be numerically identical
     to no remat (they change memory/recompute, never values)."""

@@ -473,6 +473,7 @@ def test_resolve_remat_flag_mapping():
     assert resolve_remat("true", False) is True
     assert resolve_remat("dots", False) == "dots"
     assert resolve_remat("mlp", False) == "mlp"
+    assert resolve_remat("gelu", False) == "gelu"
     assert resolve_remat(True, False) is True
     with _pytest.raises(ValueError):
         resolve_remat("bogus", False)
