@@ -134,7 +134,11 @@ def _median_rate(fn, sync, steps: int, reps: int, per_rep_units: float):
 def bench_train_synthetic(
     model_name, batch_size, text_len, steps, warmup, dtype, attn_impl,
     remat=False, reps=3, label="train/synthetic", image_size=None,
+    grad_accum=1,
 ):
+    # grad_accum > 1: batch_size is the GLOBAL batch; the step scans
+    # grad_accum micro-batches of batch_size // grad_accum (in-step
+    # accumulation, framework/train_state.py::make_train_step)
     import jax
     import jax.numpy as jnp
 
@@ -165,9 +169,11 @@ def bench_train_synthetic(
         encoder_depth=getattr(vit_cfg, "depth", 0),
         decoder_layers=bart_cfg.decoder_layers,
     )
+    micro_b = batch_size // grad_accum
+    assert micro_b * grad_accum == batch_size, "batch not divisible by accum"
     example = (
-        jnp.zeros((batch_size, *vit_cfg.img_size, vit_cfg.in_chans), jnp.float32),
-        jnp.zeros((batch_size, text_len), jnp.int32),
+        jnp.zeros((micro_b, *vit_cfg.img_size, vit_cfg.in_chans), jnp.float32),
+        jnp.zeros((micro_b, text_len), jnp.int32),
     )
     _note(f"bench[{label}]: init train state...")
     state, _ = create_train_state(model, tx, mesh, example, seed=0)
@@ -185,13 +191,14 @@ def bench_train_synthetic(
         )
         return loss, {}
 
-    step = make_train_step(loss_fn, tx, mesh)
+    step = make_train_step(loss_fn, tx, mesh, grad_accum_steps=grad_accum)
     rng = np.random.RandomState(0)
+    shape = ((grad_accum, micro_b) if grad_accum > 1 else (batch_size,))
     batch = shard_batch(mesh, {
-        "image": rng.rand(batch_size, *vit_cfg.img_size, vit_cfg.in_chans).astype(np.float32),
-        "text": rng.randint(4, bart_cfg.vocab_size, (batch_size, text_len)).astype(np.int32),
-        "target": rng.randint(4, bart_cfg.vocab_size, (batch_size, text_len)).astype(np.int32),
-    })
+        "image": rng.rand(*shape, *vit_cfg.img_size, vit_cfg.in_chans).astype(np.float32),
+        "text": rng.randint(4, bart_cfg.vocab_size, (*shape, text_len)).astype(np.int32),
+        "target": rng.randint(4, bart_cfg.vocab_size, (*shape, text_len)).astype(np.int32),
+    }, stacked=grad_accum > 1)
 
     _note(f"bench[{label}]: warmup/compile...")
     state_box = [state]
@@ -437,7 +444,9 @@ def main():
         steps, warmup, reps = 3, 1, 1
         dtype, dtype_flag, attn_impl = jnp.float32, None, "xla"
         decode_bs, decode_len, decode_steps, decode_reps = 8, 16, 2, 1
-        large_bs, donut_bs = 2, 1
+        # micro-batches must still shard over the virtual 8-device mesh:
+        # large runs 2x8 accum, donut runs B=donut_bs*2=8
+        large_bs, donut_bs = 16, 4
 
     modes = (sys.argv[1].split(",") if len(sys.argv) > 1
              else (["train", "pipeline", "decode", "large", "donut"]
@@ -474,11 +483,15 @@ def main():
         extra["eval_decode_new_tokens_per_sec_per_chip"] = dec["new_tokens_per_sec_per_chip"]
     if "large" in modes:
         # the reference's documented pretrain recipe: cruller_large b=8 bf16
-        # (README.md:19-41); selective remat='mlp' fits B=8 on a v5e chip
+        # (README.md:19-41). Fastest measured batch-8 form: remat='gelu'
+        # (checkpoint only gelu+fc2) over 2 accumulated micro-batches of 4 —
+        # 8.9 samples/s vs 8.6 for unaccumulated B=8 remat='mlp' (B=8
+        # unaccumulated with 'gelu' exceeds HBM; B=4/6 measure 9.1).
         large_name = "cruller_large" if on_accelerator else "cruller_test"
         large = bench_train_synthetic(
             large_name, large_bs, text_len, max(steps // 2, 3), warmup, dtype,
-            attn_impl, remat="mlp", reps=reps, label="train/cruller_large",
+            attn_impl, remat="gelu", reps=reps, label="train/cruller_large",
+            grad_accum=2,
         )
         extra["cruller_large_samples_per_sec_per_chip"] = (
             large["samples_per_sec_per_chip"]
@@ -491,17 +504,19 @@ def main():
         donut_name = "donut_base" if on_accelerator else "cruller_swin_test"
         donut_size = (1280, 960) if on_accelerator else None
         try:
+            # measured best train recipe: B=4 remat='gelu' 13.8 samples/s
+            # (B=4 'mlp' 13.4, B=2 'mlp' 13.5)
             donut = bench_train_synthetic(
-                donut_name, donut_bs, 511, max(steps // 2, 3), warmup, dtype,
-                attn_impl, remat="mlp", reps=reps, label="train/donut_base",
-                image_size=donut_size,
+                donut_name, donut_bs * 2, 511, max(steps // 2, 3), warmup,
+                dtype, attn_impl, remat="gelu", reps=reps,
+                label="train/donut_base", image_size=donut_size,
             )
             extra["donut_base_samples_per_sec_per_chip"] = (
                 donut["samples_per_sec_per_chip"]
             )
             extra["donut_base_step_ms"] = donut["step_ms"]
             ddec = bench_eval_decode(
-                donut_name, max(donut_bs, 8) if on_accelerator else 2,
+                donut_name, 8,
                 decode_len, max(decode_steps // 2, 2), dtype,
                 reps=decode_reps, label="eval/donut_decode",
                 image_size=donut_size,

@@ -304,6 +304,28 @@ def test_wds_interval_determinism(shard_dir, tok):
     assert not np.array_equal(a, c)
 
 
+def test_pipe_source_matches_direct(shard_dir):
+    """``pipe:cmd`` subprocess sources (reference: ``pipe:aws s3 cp …``,
+    README.md:21) yield byte-identical sample streams to direct files —
+    through the readahead thread that keeps the subprocess streaming while
+    the consumer transforms (wds._ReadaheadStream)."""
+    from pixparse_tpu.data.wds import iter_tar_samples
+
+    direct = list(iter_tar_samples(str(shard_dir / "shard-0000.tar")))
+    piped = list(iter_tar_samples("pipe:cat " + str(shard_dir / "shard-0000.tar")))
+    assert [s["__key__"] for s in direct] == [s["__key__"] for s in piped]
+    for a, b in zip(direct, piped):
+        for k in a:
+            if k == "__url__":
+                continue
+            assert a[k] == b[k], k
+
+    # abandoning a pipe mid-shard must not hang (readahead close protocol)
+    it = iter_tar_samples("pipe:cat " + str(shard_dir / "shard-0001.tar"))
+    next(it)
+    it.close()
+
+
 def test_get_additional_tokens_from_dataset():
     from pixparse_tpu.data.datasets_utils import get_additional_tokens_from_dataset
 
