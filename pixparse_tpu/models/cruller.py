@@ -59,7 +59,8 @@ class Cruller(nn.Module):
     def setup(self):
         if isinstance(self.vit_cfg, SwinCfg):
             self.image_encoder = Swin(
-                self.vit_cfg, dtype=self.dtype, remat=self.remat
+                self.vit_cfg, dtype=self.dtype, remat=self.remat,
+                attn_impl=self.attn_impl,
             )
         else:
             self.image_encoder = ViT(

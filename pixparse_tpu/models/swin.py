@@ -125,6 +125,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window: int
     dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"  # 'xla' | 'flash' (fused Pallas window kernel)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
@@ -136,12 +137,7 @@ class WindowAttention(nn.Module):
             3 * C, dtype=self.dtype,
             kernel_init=_init(("embed", "heads")), bias_init=_zeros(("heads",)),
             name="qkv",
-        )(x).reshape(nB, N, 3, H, Dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * (Dh ** -0.5)
+        )(x)
 
         table = self.param(
             "relative_position_bias_table",
@@ -153,15 +149,29 @@ class WindowAttention(nn.Module):
         )
         index = jnp.asarray(_rel_pos_index(self.window).reshape(-1))
         bias = table[index].reshape(N, N, H).transpose(2, 0, 1)  # (H, ww, ww)
-        scores = scores + bias[None]
 
-        if mask is not None:
-            nW = mask.shape[0]
-            scores = scores.reshape(nB // nW, nW, H, N, N) + mask[None, :, None]
-            scores = scores.reshape(nB, H, N, N)
+        if self.attn_impl == "flash":
+            # fused Pallas kernel: scores never round-trip HBM. The Dense
+            # output feature order is (3, H, Dh), so q/k/v are contiguous
+            # head-major (nB, ww, C) slices — the kernel's flat layout.
+            from pixparse_tpu.ops.window_attention import window_attention
 
-        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(nB, N, C)
+            out = window_attention(
+                qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:], bias, mask
+            )
+        else:
+            qkv = qkv.reshape(nB, N, 3, H, Dh)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * (Dh ** -0.5)
+            scores = scores + bias[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                scores = scores.reshape(nB // nW, nW, H, N, N) + mask[None, :, None]
+                scores = scores.reshape(nB, H, N, N)
+            attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(nB, N, C)
         return nn.Dense(
             C, dtype=self.dtype,
             kernel_init=_init(("heads", "embed")), bias_init=_zeros(("embed",)),
@@ -177,6 +187,7 @@ class SwinBlock(nn.Module):
     shift: int
     dtype: Dtype = jnp.float32
     mlp_remat: "bool | str" = False  # False | 'mlp' | 'gelu' (vit.mlp_forward)
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
@@ -207,7 +218,8 @@ class SwinBlock(nn.Module):
         if shift:
             mask = jnp.asarray(_shift_attn_mask(Hp, Wp, window, shift))
         attn_out = WindowAttention(
-            self.dim, self.num_heads, window, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads, window, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn",
         )(windows, mask)
         h = _window_reverse(attn_out, window, B, Hp, Wp)
         if shift:
@@ -267,6 +279,7 @@ class Swin(nn.Module):
     cfg: SwinCfg
     dtype: Dtype = jnp.float32
     remat: "bool | str" = False  # False | True/'full' | 'dots' | 'mlp' | 'gelu'
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, images: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -304,6 +317,7 @@ class Swin(nn.Module):
                 x = block_cls(
                     c, dim, c.num_heads[stage], res, shift,
                     dtype=self.dtype, mlp_remat=mlp_remat,
+                    attn_impl=self.attn_impl,
                     name=f"layers_{stage}_blocks_{block}",
                 )(x, deterministic)
             if stage < c.num_stages - 1:
