@@ -23,6 +23,9 @@ of ``reps`` timed repetitions:
    mBART) at the reference Donut OCR eval scale 1280x960
    (/root/reference/src/pixparse/task/task_donut_eval_ocr.py:44-47):
    train step + eval decode rows.
+6. **pix2struct** — pix2struct_base pretrain step (2048 variable-resolution
+   patches, varlen flash encoder, B=8 bf16 no-remat — the
+   task_pix2struct_pretrain recipe).
 
 stdout contract: ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``
 for the primary metric; other measurements ride in ``"extra"`` (narrated on
@@ -240,6 +243,117 @@ def bench_train_synthetic(
     }
 
 
+def bench_train_pix2struct(
+    model_name, batch_size, text_len, steps, warmup, dtype, attn_impl,
+    reps=3, label="train/pix2struct",
+):
+    """Pix2struct pretrain step on synthetic full-length patch batches
+    (every sample carries max_patches valid patches — the max-FLOPs case;
+    production batches are variable-length through the same varlen flash
+    encoder). Mirrors task_pix2struct_pretrain's train_setup recipe:
+    B=8 bf16, no remat (the flash encoder never materializes the masked
+    (B, H, N, N) score tensors)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixparse_tpu.framework.config import OptimizationCfg
+    from pixparse_tpu.framework.optimization import create_optimizer
+    from pixparse_tpu.framework.train_state import create_train_state, make_train_step
+    from pixparse_tpu.models.config import get_model_config
+    from pixparse_tpu.models.cruller import resolve_cruller_cfgs
+    from pixparse_tpu.models.pix2struct import Pix2StructCruller
+    from pixparse_tpu.ops.loss import cross_entropy_from_hidden
+    from pixparse_tpu.parallel.mesh import create_mesh, shard_batch
+
+    cfg = get_model_config(model_name)
+    enc_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
+    model = Pix2StructCruller(enc_cfg, bart_cfg, dtype=dtype, attn_impl=attn_impl)
+    mesh = create_mesh()
+    n_chips = mesh.devices.size
+
+    opt_cfg = OptimizationCfg(
+        learning_rate=3e-4, clip_grad_value=1.0, clip_grad_mode="norm",
+        betas=(0.9, 0.98), weight_decay=0.02,
+    )
+    tx, _ = create_optimizer(
+        opt_cfg, 30, 3, 100,
+        encoder_depth=enc_cfg.depth, decoder_layers=bart_cfg.decoder_layers,
+    )
+    n = enc_cfg.max_patches
+    pdim = enc_cfg.patch_size ** 2 * enc_cfg.in_chans
+    example_img = {
+        "patches": jnp.zeros((1, n, pdim), jnp.float32),
+        "rows": jnp.zeros((1, n), jnp.int32),
+        "cols": jnp.zeros((1, n), jnp.int32),
+        "mask": jnp.ones((1, n), bool),
+    }
+    example = (example_img, jnp.zeros((1, text_len), jnp.int32))
+    _note(f"bench[{label}]: init train state...")
+    state, _ = create_train_state(model, tx, mesh, example, seed=0)
+
+    def loss_fn(params, batch, rng):
+        hidden = model.apply(
+            {"params": params}, batch["image"], batch["text"],
+            deterministic=False, rngs={"dropout": rng},
+            method="forward_hidden",
+        )
+        loss, _ = cross_entropy_from_hidden(
+            hidden,
+            params["text_decoder"]["embed_tokens"]["embedding"].astype(hidden.dtype),
+            batch["target"],
+        )
+        return loss, {}
+
+    step = make_train_step(loss_fn, tx, mesh)
+    rng = np.random.RandomState(0)
+    cols_per_row = max(1, min(enc_cfg.max_cols, n // 2))
+    idx = np.arange(n, dtype=np.int32)
+    batch = shard_batch(mesh, {
+        "image": {
+            "patches": rng.rand(batch_size, n, pdim).astype(np.float32),
+            "rows": np.broadcast_to(idx // cols_per_row, (batch_size, n)).copy(),
+            "cols": np.broadcast_to(idx % cols_per_row, (batch_size, n)).copy(),
+            "mask": np.ones((batch_size, n), bool),
+        },
+        "text": rng.randint(4, bart_cfg.vocab_size, (batch_size, text_len)).astype(np.int32),
+        "target": rng.randint(4, bart_cfg.vocab_size, (batch_size, text_len)).astype(np.int32),
+    })
+
+    _note(f"bench[{label}]: warmup/compile...")
+    state_box = [state]
+
+    def one_step():
+        state_box[0], metrics = step(state_box[0], batch)
+        return metrics
+
+    for _ in range(warmup):
+        metrics = one_step()
+    _read_scalar(metrics["loss"])
+
+    rate, step_time = _median_rate(
+        one_step, lambda m: _read_scalar(m["loss"]), steps, reps,
+        batch_size * steps,
+    )
+    per_chip = rate / n_chips
+
+    from pixparse_tpu.framework.profiling import cruller_train_flops, mfu
+
+    flops = cruller_train_flops(enc_cfg, bart_cfg, batch_size, text_len)
+    util = mfu(flops, step_time, n_chips=n_chips)
+    _note(
+        f"bench[{label}]: {per_chip:.1f} samples/s/chip, "
+        f"step {step_time * 1e3:.1f} ms"
+        + (f", MFU {util:.1%}" if util is not None else "")
+    )
+    del state_box, batch, step
+    return {
+        "samples_per_sec_per_chip": round(per_chip, 3),
+        "step_ms": round(step_time * 1e3, 1),
+        "mfu": round(util, 4) if util is not None else None,
+        "n_chips": n_chips,
+    }
+
+
 # --------------------------------------------------------------------------
 # 2) train step fed by the real wds pipeline
 # --------------------------------------------------------------------------
@@ -328,7 +442,7 @@ def bench_train_pipeline(
 
 def bench_eval_decode(
     model_name, batch_size, new_tokens, steps, dtype, reps=3,
-    label="eval/decode", image_size=None,
+    label="eval/decode", image_size=None, attn_impl=None,
 ):
     import flax.linen as nn
     import jax
@@ -344,8 +458,9 @@ def bench_eval_decode(
     if image_size is not None:
         cfg.image_encoder.image_size = tuple(image_size)
     vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
-    attn = "flash" if jax.devices()[0].platform != "cpu" else "xla"
-    model = Cruller(vit_cfg, bart_cfg, dtype=dtype, attn_impl=attn)
+    if attn_impl is None:
+        attn_impl = "flash" if jax.devices()[0].platform != "cpu" else "xla"
+    model = Cruller(vit_cfg, bart_cfg, dtype=dtype, attn_impl=attn_impl)
     mesh = create_mesh()
     n_chips = mesh.devices.size
 
@@ -449,7 +564,7 @@ def main():
         large_bs, donut_bs = 16, 4
 
     modes = (sys.argv[1].split(",") if len(sys.argv) > 1
-             else (["train", "pipeline", "decode", "large", "donut"]
+             else (["train", "pipeline", "decode", "large", "donut", "pix2struct"]
                    if on_accelerator else ["train", "pipeline", "decode"]))
 
     extra = {}
@@ -504,8 +619,10 @@ def main():
         donut_name = "donut_base" if on_accelerator else "cruller_swin_test"
         donut_size = (1280, 960) if on_accelerator else None
         try:
-            # measured best train recipe: B=4 remat='gelu' 13.8 samples/s
-            # (B=4 'mlp' 13.4, B=2 'mlp' 13.5)
+            # measured best train recipe: B=4 remat='gelu' + fused window
+            # kernel 18.3 samples/s (xla window attn: 13.8; 'mlp' 13.4).
+            # flash is safe here: B<=4 full-model validated on chip — B=8
+            # faults (see docs/PERF.md "Fused Swin window attention")
             donut = bench_train_synthetic(
                 donut_name, donut_bs * 2, 511, max(steps // 2, 3), warmup,
                 dtype, attn_impl, remat="gelu", reps=reps,
@@ -515,11 +632,17 @@ def main():
                 donut["samples_per_sec_per_chip"]
             )
             extra["donut_base_step_ms"] = donut["step_ms"]
+            # encoder attn_impl='xla': the fused window kernel faults in the
+            # FULL donut encode at B=8 1280x960 (B<=4 and every standalone
+            # stage shape pass — composition-dependent Mosaic fault, see
+            # docs/PERF.md). The Pallas decode-attention kernel is gated on
+            # platform, not attn_impl, so the 128-step decode loop keeps it.
             ddec = bench_eval_decode(
                 donut_name, 8,
                 decode_len, max(decode_steps // 2, 2), dtype,
                 reps=decode_reps, label="eval/donut_decode",
                 image_size=donut_size,
+                attn_impl="xla" if on_accelerator else None,
             )
             extra["donut_base_decode_pages_per_sec_per_chip"] = (
                 ddec["pages_per_sec_per_chip"]
@@ -527,6 +650,23 @@ def main():
         except Exception as e:  # pragma: no cover - keep the primary JSON
             _note(f"bench[donut]: FAILED: {e!r}")
             extra["donut_base_error"] = repr(e)[:200]
+    if "pix2struct" in modes:
+        # pix2struct_base pretrain: 2048 variable-resolution patches through
+        # the varlen flash encoder (task_pix2struct_pretrain recipe, B=8)
+        p2s_name = "pix2struct_base" if on_accelerator else "pix2struct_test"
+        try:
+            p2s = bench_train_pix2struct(
+                p2s_name, 8 if on_accelerator else 8, text_len,
+                max(steps // 2, 3), warmup, dtype, attn_impl, reps=reps,
+            )
+            extra["pix2struct_base_samples_per_sec_per_chip"] = (
+                p2s["samples_per_sec_per_chip"]
+            )
+            extra["pix2struct_base_step_ms"] = p2s["step_ms"]
+            extra["pix2struct_base_mfu"] = p2s["mfu"]
+        except Exception as e:  # pragma: no cover - keep the primary JSON
+            _note(f"bench[pix2struct]: FAILED: {e!r}")
+            extra["pix2struct_base_error"] = repr(e)[:200]
 
     primary = train_res or {"samples_per_sec_per_chip": 0.0}
     # derived reference denominator (see module docstring / BASELINE.md)

@@ -148,7 +148,10 @@ class WindowAttention(nn.Module):
             jnp.float32,
         )
         index = jnp.asarray(_rel_pos_index(self.window).reshape(-1))
-        bias = table[index].reshape(N, N, H).transpose(2, 0, 1)  # (H, ww, ww)
+        # head-major gather (no trailing transpose): the Pallas kernel reads
+        # bias as a (H, ww, ww) block and a transposed layout feeding the
+        # custom call is a DMA hazard
+        bias = table.T[:, index].reshape(H, N, N)  # (H, ww, ww)
 
         if self.attn_impl == "flash":
             # fused Pallas kernel: scores never round-trip HBM. The Dense

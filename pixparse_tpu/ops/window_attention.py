@@ -52,11 +52,13 @@ def _interpret() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
-def _compiler_params():
+def _compiler_params(semantics="parallel"):
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",),  # dbias accumulates across steps
+        # fwd grid steps are independent ("parallel"); only the bwd needs
+        # sequential steps ("arbitrary") for the cross-step dbias accumulation
+        dimension_semantics=(semantics,),
         vmem_limit_bytes=100 * 1024 * 1024,
     )
 
@@ -204,7 +206,7 @@ def _fwd_local(q, k, v, bias, mask, heads, has_mask):
         in_specs=in_specs,
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((nB, N, C), q.dtype),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params("parallel"),
         interpret=_interpret(),
     )(*args)
 
@@ -230,7 +232,7 @@ def _bwd_local(q, k, v, do, bias, mask, heads, has_mask):
             jax.ShapeDtypeStruct((nB, N, C), q.dtype),
             jax.ShapeDtypeStruct((heads, N, N), jnp.float32),
         ),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params("arbitrary"),
         interpret=_interpret(),
     )(*args)
 
