@@ -125,7 +125,14 @@ class WindowAttention(nn.Module):
     num_heads: int
     window: int
     dtype: Dtype = jnp.float32
-    attn_impl: str = "xla"  # 'xla' | 'flash' (fused Pallas window kernel)
+    # 'xla' (default) | 'flash' (fused Pallas window kernel, +32% measured
+    # donut train throughput). CAUTION: 'flash' hits a context-sensitive
+    # Mosaic/XLA fault in SOME compiled compositions (e.g. the full donut
+    # encode at B=8 1280x960, or an encoder-only grad at B=4) while others
+    # (the full B=4 train step) run clean and correct — validate any new
+    # (config, program) pair on the chip before relying on it; see
+    # docs/PERF.md "Fused Swin window attention".
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
