@@ -134,49 +134,30 @@ def _median_rate(fn, sync, steps: int, reps: int, per_rep_units: float):
 # 1) train step on synthetic device-resident batches
 # --------------------------------------------------------------------------
 
-def bench_train_synthetic(
-    model_name, batch_size, text_len, steps, warmup, dtype, attn_impl,
-    remat=False, reps=3, label="train/synthetic", image_size=None,
-    grad_accum=1,
+def _run_train_bench(
+    model, enc_cfg, bart_cfg, example, batch_np, batch_size, text_len,
+    steps, warmup, reps, label, grad_accum=1,
 ):
-    # grad_accum > 1: batch_size is the GLOBAL batch; the step scans
-    # grad_accum micro-batches of batch_size // grad_accum (in-step
-    # accumulation, framework/train_state.py::make_train_step)
-    import jax
-    import jax.numpy as jnp
-
+    """Shared train-step bench scaffolding: optimizer, train state, tied-head
+    CE loss, in-step accumulation, warmup/compile, median-of-reps timing and
+    MFU accounting. Callers supply the constructed model, its example inputs
+    and a host-side batch dict."""
     from pixparse_tpu.framework.config import OptimizationCfg
     from pixparse_tpu.framework.optimization import create_optimizer
     from pixparse_tpu.framework.train_state import create_train_state, make_train_step
-    from pixparse_tpu.models.config import get_model_config
-    from pixparse_tpu.models.cruller import Cruller, resolve_cruller_cfgs
     from pixparse_tpu.ops.loss import cross_entropy_from_hidden
     from pixparse_tpu.parallel.mesh import create_mesh, shard_batch
 
-    cfg = get_model_config(model_name)
-    if image_size is not None:
-        cfg.image_encoder.image_size = tuple(image_size)
-    vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
-    model = Cruller(
-        vit_cfg, bart_cfg, dtype=dtype, attn_impl=attn_impl, remat=remat
-    )
     mesh = create_mesh()
     n_chips = mesh.devices.size
-
     opt_cfg = OptimizationCfg(
         learning_rate=3e-4, clip_grad_value=1.0, clip_grad_mode="norm",
         betas=(0.9, 0.98), weight_decay=0.02,
     )
     tx, _ = create_optimizer(
         opt_cfg, 30, 3, 100,
-        encoder_depth=getattr(vit_cfg, "depth", 0),
+        encoder_depth=getattr(enc_cfg, "depth", 0),
         decoder_layers=bart_cfg.decoder_layers,
-    )
-    micro_b = batch_size // grad_accum
-    assert micro_b * grad_accum == batch_size, "batch not divisible by accum"
-    example = (
-        jnp.zeros((micro_b, *vit_cfg.img_size, vit_cfg.in_chans), jnp.float32),
-        jnp.zeros((micro_b, text_len), jnp.int32),
     )
     _note(f"bench[{label}]: init train state...")
     state, _ = create_train_state(model, tx, mesh, example, seed=0)
@@ -195,13 +176,7 @@ def bench_train_synthetic(
         return loss, {}
 
     step = make_train_step(loss_fn, tx, mesh, grad_accum_steps=grad_accum)
-    rng = np.random.RandomState(0)
-    shape = ((grad_accum, micro_b) if grad_accum > 1 else (batch_size,))
-    batch = shard_batch(mesh, {
-        "image": rng.rand(*shape, *vit_cfg.img_size, vit_cfg.in_chans).astype(np.float32),
-        "text": rng.randint(4, bart_cfg.vocab_size, (*shape, text_len)).astype(np.int32),
-        "target": rng.randint(4, bart_cfg.vocab_size, (*shape, text_len)).astype(np.int32),
-    }, stacked=grad_accum > 1)
+    batch = shard_batch(mesh, batch_np, stacked=grad_accum > 1)
 
     _note(f"bench[{label}]: warmup/compile...")
     state_box = [state]
@@ -224,10 +199,10 @@ def bench_train_synthetic(
 
     util = flops = None
     try:
-        flops = cruller_train_flops(vit_cfg, bart_cfg, batch_size, text_len)
+        flops = cruller_train_flops(enc_cfg, bart_cfg, batch_size, text_len)
         util = mfu(flops, step_time, n_chips=n_chips)
     except (AttributeError, TypeError):
-        pass  # non-ViT encoders (Swin) have no flops accounting yet
+        pass  # encoders without flops accounting
     _note(
         f"bench[{label}]: {per_chip:.1f} samples/s/chip, "
         f"step {step_time * 1e3:.1f} ms"
@@ -243,6 +218,45 @@ def bench_train_synthetic(
     }
 
 
+def bench_train_synthetic(
+    model_name, batch_size, text_len, steps, warmup, dtype, attn_impl,
+    remat=False, reps=3, label="train/synthetic", image_size=None,
+    grad_accum=1,
+):
+    # grad_accum > 1: batch_size is the GLOBAL batch; the step scans
+    # grad_accum micro-batches of batch_size // grad_accum (in-step
+    # accumulation, framework/train_state.py::make_train_step)
+    import jax.numpy as jnp
+
+    from pixparse_tpu.models.config import get_model_config
+    from pixparse_tpu.models.cruller import Cruller, resolve_cruller_cfgs
+
+    cfg = get_model_config(model_name)
+    if image_size is not None:
+        cfg.image_encoder.image_size = tuple(image_size)
+    vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
+    model = Cruller(
+        vit_cfg, bart_cfg, dtype=dtype, attn_impl=attn_impl, remat=remat
+    )
+    micro_b = batch_size // grad_accum
+    assert micro_b * grad_accum == batch_size, "batch not divisible by accum"
+    example = (
+        jnp.zeros((micro_b, *vit_cfg.img_size, vit_cfg.in_chans), jnp.float32),
+        jnp.zeros((micro_b, text_len), jnp.int32),
+    )
+    rng = np.random.RandomState(0)
+    shape = ((grad_accum, micro_b) if grad_accum > 1 else (batch_size,))
+    batch_np = {
+        "image": rng.rand(*shape, *vit_cfg.img_size, vit_cfg.in_chans).astype(np.float32),
+        "text": rng.randint(4, bart_cfg.vocab_size, (*shape, text_len)).astype(np.int32),
+        "target": rng.randint(4, bart_cfg.vocab_size, (*shape, text_len)).astype(np.int32),
+    }
+    return _run_train_bench(
+        model, vit_cfg, bart_cfg, example, batch_np, batch_size, text_len,
+        steps, warmup, reps, label, grad_accum=grad_accum,
+    )
+
+
 def bench_train_pix2struct(
     model_name, batch_size, text_len, steps, warmup, dtype, attn_impl,
     reps=3, label="train/pix2struct",
@@ -253,32 +267,15 @@ def bench_train_pix2struct(
     encoder). Mirrors task_pix2struct_pretrain's train_setup recipe:
     B=8 bf16, no remat (the flash encoder never materializes the masked
     (B, H, N, N) score tensors)."""
-    import jax
     import jax.numpy as jnp
 
-    from pixparse_tpu.framework.config import OptimizationCfg
-    from pixparse_tpu.framework.optimization import create_optimizer
-    from pixparse_tpu.framework.train_state import create_train_state, make_train_step
     from pixparse_tpu.models.config import get_model_config
     from pixparse_tpu.models.cruller import resolve_cruller_cfgs
     from pixparse_tpu.models.pix2struct import Pix2StructCruller
-    from pixparse_tpu.ops.loss import cross_entropy_from_hidden
-    from pixparse_tpu.parallel.mesh import create_mesh, shard_batch
 
     cfg = get_model_config(model_name)
     enc_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
     model = Pix2StructCruller(enc_cfg, bart_cfg, dtype=dtype, attn_impl=attn_impl)
-    mesh = create_mesh()
-    n_chips = mesh.devices.size
-
-    opt_cfg = OptimizationCfg(
-        learning_rate=3e-4, clip_grad_value=1.0, clip_grad_mode="norm",
-        betas=(0.9, 0.98), weight_decay=0.02,
-    )
-    tx, _ = create_optimizer(
-        opt_cfg, 30, 3, 100,
-        encoder_depth=enc_cfg.depth, decoder_layers=bart_cfg.decoder_layers,
-    )
     n = enc_cfg.max_patches
     pdim = enc_cfg.patch_size ** 2 * enc_cfg.in_chans
     example_img = {
@@ -288,27 +285,10 @@ def bench_train_pix2struct(
         "mask": jnp.ones((1, n), bool),
     }
     example = (example_img, jnp.zeros((1, text_len), jnp.int32))
-    _note(f"bench[{label}]: init train state...")
-    state, _ = create_train_state(model, tx, mesh, example, seed=0)
-
-    def loss_fn(params, batch, rng):
-        hidden = model.apply(
-            {"params": params}, batch["image"], batch["text"],
-            deterministic=False, rngs={"dropout": rng},
-            method="forward_hidden",
-        )
-        loss, _ = cross_entropy_from_hidden(
-            hidden,
-            params["text_decoder"]["embed_tokens"]["embedding"].astype(hidden.dtype),
-            batch["target"],
-        )
-        return loss, {}
-
-    step = make_train_step(loss_fn, tx, mesh)
     rng = np.random.RandomState(0)
     cols_per_row = max(1, min(enc_cfg.max_cols, n // 2))
     idx = np.arange(n, dtype=np.int32)
-    batch = shard_batch(mesh, {
+    batch_np = {
         "image": {
             "patches": rng.rand(batch_size, n, pdim).astype(np.float32),
             "rows": np.broadcast_to(idx // cols_per_row, (batch_size, n)).copy(),
@@ -317,41 +297,11 @@ def bench_train_pix2struct(
         },
         "text": rng.randint(4, bart_cfg.vocab_size, (batch_size, text_len)).astype(np.int32),
         "target": rng.randint(4, bart_cfg.vocab_size, (batch_size, text_len)).astype(np.int32),
-    })
-
-    _note(f"bench[{label}]: warmup/compile...")
-    state_box = [state]
-
-    def one_step():
-        state_box[0], metrics = step(state_box[0], batch)
-        return metrics
-
-    for _ in range(warmup):
-        metrics = one_step()
-    _read_scalar(metrics["loss"])
-
-    rate, step_time = _median_rate(
-        one_step, lambda m: _read_scalar(m["loss"]), steps, reps,
-        batch_size * steps,
-    )
-    per_chip = rate / n_chips
-
-    from pixparse_tpu.framework.profiling import cruller_train_flops, mfu
-
-    flops = cruller_train_flops(enc_cfg, bart_cfg, batch_size, text_len)
-    util = mfu(flops, step_time, n_chips=n_chips)
-    _note(
-        f"bench[{label}]: {per_chip:.1f} samples/s/chip, "
-        f"step {step_time * 1e3:.1f} ms"
-        + (f", MFU {util:.1%}" if util is not None else "")
-    )
-    del state_box, batch, step
-    return {
-        "samples_per_sec_per_chip": round(per_chip, 3),
-        "step_ms": round(step_time * 1e3, 1),
-        "mfu": round(util, 4) if util is not None else None,
-        "n_chips": n_chips,
     }
+    return _run_train_bench(
+        model, enc_cfg, bart_cfg, example, batch_np, batch_size, text_len,
+        steps, warmup, reps, label,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -656,7 +606,7 @@ def main():
         p2s_name = "pix2struct_base" if on_accelerator else "pix2struct_test"
         try:
             p2s = bench_train_pix2struct(
-                p2s_name, 8 if on_accelerator else 8, text_len,
+                p2s_name, 8, text_len,
                 max(steps // 2, 3), warmup, dtype, attn_impl, reps=reps,
             )
             extra["pix2struct_base_samples_per_sec_per_chip"] = (
