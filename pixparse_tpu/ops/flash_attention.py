@@ -127,59 +127,71 @@ def _tile_classes(qi, ki, block_q, block_k, off):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel_single(
-    q_ref, k_ref, v_ref,  # (1, block, D)
-    klen_ref,  # (1, 1) int32 per-sample key length (varlen only)
-    o_ref,  # (1, block_q, D)
-    lse_ref,  # (1, block_q, STAT_LANES)
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
+    q_ref, k_ref, v_ref,  # (1, block, hp*d) — hp heads packed in the lanes
+    klen_ref,  # (Bg, 1) int32 per-sample key length (varlen only, SMEM)
+    o_ref,  # (1, block_q, hp*d)
+    lse_ref,  # (1, 1, block_q, hp*STAT_LANES)
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen, hp, d,
 ):
-    """One k-block covers the full key length: plain softmax, no scratch."""
-    qi = pl.program_id(1)
+    """One k-block covers the full key length: plain softmax, no scratch.
+
+    Packed layout: q/k/v stay in the projection's natural (B, L, H*D) form;
+    each block carries ``hp = 128 // D`` whole heads side by side in the
+    lanes (grid dim 1 walks head groups), so NO head-split transpose ever
+    materializes in HBM (at head_dim 64 those copies were ~16% of the eval
+    encode). ``hp == 1`` with a (B*H, L, D) array is the legacy split
+    layout for head dims that don't pack into 128 lanes."""
+    qi = pl.program_id(2)
     q = q_ref[0]
     k = k_ref[0]
-    s = _scaled(jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ), scale)
-    if varlen:
-        s = s + _tail_bias(0, block_q, block_k, klen_ref[pl.program_id(0), 0])
-    elif kv_pad:
-        s = s + _tail_bias(0, block_q, block_k, kv_len)
-    if causal:
-        s = jnp.where(
-            _causal_mask(qi, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
+    v = v_ref[0]
+    for h in range(hp):
+        hs = slice(h * d, (h + 1) * d)
+        s = _scaled(jax.lax.dot_general(
+            q[:, hs], k[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ), scale)
+        if varlen:
+            s = s + _tail_bias(0, block_q, block_k, klen_ref[pl.program_id(0), 0])
+        elif kv_pad:
+            s = s + _tail_bias(0, block_q, block_k, kv_len)
+        if causal:
+            s = jnp.where(
+                _causal_mask(qi, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
+            )
+        m = jnp.max(s, axis=1, keepdims=True)
+        # fully-masked rows (klen=0 / causal rows with no visible keys): every
+        # s is ~NEG_INF so exp(s - m) would peak at 1 and emit a spurious
+        # average of v — zero them instead, matching the multi-block kernel's
+        # l == 0 semantics
+        dead = m <= NEG_INF * 0.5
+        p = jnp.exp(s - m).astype(v.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        live = (l > 0.0) & ~dead
+        safe_l = jnp.where(live, l, 1.0)
+        o = jax.lax.dot_general(
+            p, v[:, hs], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-    m = jnp.max(s, axis=1, keepdims=True)
-    # fully-masked rows (klen=0 / causal rows with no visible keys): every
-    # s is ~NEG_INF so exp(s - m) would peak at 1 and emit a spurious
-    # average of v — zero them instead, matching the multi-block kernel's
-    # l == 0 semantics
-    dead = m <= NEG_INF * 0.5
-    p = jnp.exp(s - m).astype(v_ref.dtype)
-    l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-    live = (l > 0.0) & ~dead
-    safe_l = jnp.where(live, l, 1.0)
-    o = jax.lax.dot_general(
-        p, v_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = jnp.where(live, o / safe_l, 0.0).astype(o_ref.dtype)
-    lse = jnp.where(live, m + jnp.log(safe_l), NEG_INF)
-    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        o_ref[0, :, hs] = jnp.where(live, o / safe_l, 0.0).astype(o_ref.dtype)
+        lse = jnp.where(live, m + jnp.log(safe_l), NEG_INF)
+        lse_ref[0, 0, :, h * STAT_LANES:(h + 1) * STAT_LANES] = (
+            jnp.broadcast_to(lse, (block_q, STAT_LANES))
+        )
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref,  # (1, block, D)
-    klen_ref,  # (1, 1) int32 per-sample key length (varlen only)
-    o_ref,  # (1, block_q, D)
-    lse_ref,  # (1, block_q, STAT_LANES)
-    m_scratch, l_scratch,  # (block_q, STAT_LANES) f32
-    acc_scratch,  # (block_q, D) f32
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
+    q_ref, k_ref, v_ref,  # (1, block, hp*d)
+    klen_ref,  # (Bg, 1) int32 per-sample key length (varlen only, SMEM)
+    o_ref,  # (1, block_q, hp*d)
+    lse_ref,  # (1, 1, block_q, hp*STAT_LANES)
+    m_scratch, l_scratch,  # (block_q, hp*STAT_LANES) f32
+    acc_scratch,  # (block_q, hp*d) f32
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen, hp, d,
 ):
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
-    nk = pl.num_programs(2)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
 
     @pl.when(ki == 0)
     def _init():
@@ -190,34 +202,38 @@ def _fwd_kernel(
     def body(masked):
         q = q_ref[0]
         k = k_ref[0]
-        s = _scaled(jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ), scale)
-        if varlen:
-            s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
-        elif kv_pad:
-            s = s + _tail_bias(ki, block_q, block_k, kv_len)
-        if masked:
-            s = jnp.where(
-                _causal_mask(qi, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
+        v = v_ref[0]
+        for h in range(hp):
+            hs = slice(h * d, (h + 1) * d)
+            ss = slice(h * STAT_LANES, (h + 1) * STAT_LANES)
+            s = _scaled(jax.lax.dot_general(
+                q[:, hs], k[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ), scale)
+            if varlen:
+                s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
+            elif kv_pad:
+                s = s + _tail_bias(ki, block_q, block_k, kv_len)
+            if masked:
+                s = jnp.where(
+                    _causal_mask(qi, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
+                )
+            m_prev = m_scratch[:, h * STAT_LANES:h * STAT_LANES + 1]
+            l_prev = l_scratch[:, h * STAT_LANES:h * STAT_LANES + 1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            l_cur = jnp.sum(p, axis=1, keepdims=True)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + l_cur
+            acc = acc_scratch[:, hs] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v[:, hs],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        m_prev = m_scratch[:, :1]
-        l_prev = l_scratch[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        l_cur = jnp.sum(p, axis=1, keepdims=True)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + l_cur
-        acc = acc_scratch[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
-        acc_scratch[:] = acc
+            m_scratch[:, ss] = jnp.broadcast_to(m_new, (block_q, STAT_LANES))
+            l_scratch[:, ss] = jnp.broadcast_to(l_new, (block_q, STAT_LANES))
+            acc_scratch[:, hs] = acc
 
     if causal:
         fully_masked, fully_visible = _tile_classes(
@@ -236,70 +252,86 @@ def _fwd_kernel(
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        l = l_scratch[:, :1]
-        safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
-        # lse = m + log(l); fully-masked rows keep NEG_INF
-        lse = jnp.where(
-            l > 0.0, m_scratch[:, :1] + jnp.log(safe_l), NEG_INF
-        )  # (block_q, 1)
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        for h in range(hp):
+            hs = slice(h * d, (h + 1) * d)
+            ss = slice(h * STAT_LANES, (h + 1) * STAT_LANES)
+            l = l_scratch[:, h * STAT_LANES:h * STAT_LANES + 1]
+            safe_l = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, :, hs] = (acc_scratch[:, hs] / safe_l).astype(o_ref.dtype)
+            # lse = m + log(l); fully-masked rows keep NEG_INF
+            lse = jnp.where(
+                l > 0.0,
+                m_scratch[:, h * STAT_LANES:h * STAT_LANES + 1] + jnp.log(safe_l),
+                NEG_INF,
+            )  # (block_q, 1)
+            lse_ref[0, 0, :, ss] = jnp.broadcast_to(lse, (block_q, STAT_LANES))
 
 
 def _fwd_flat(qb, kb, vb, klen, *, scale, causal, block_q, block_k, kv_len,
-              q_len, varlen, out_dtype):
-    """(BH, Lq_p, D) inputs + (BH, 1) key lengths -> (o, lse)."""
+              q_len, varlen, out_dtype, hp, d):
+    """(Bg, Lq_p, G*hp*d) inputs + (Bg, 1) key lengths -> (o, lse4).
+
+    ``Bg`` is the batch (packed layout) or batch*heads (legacy split);
+    grid dim 1 walks the G head groups of hp heads each; lse rides in a
+    4-D (Bg, G, Lq_p, hp*STAT_LANES) array (last dim equals the block —
+    legal Mosaic tiling for the non-128 stat width)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    BH, Lq_p, D = qb.shape
+    Bg, Lq_p, GW = qb.shape
+    W = hp * d
+    G = GW // W
     Lk_p = kb.shape[1]
+    SLh = hp * STAT_LANES
     kwargs = dict(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=kv_len, q_len=q_len, kv_pad=Lk_p != kv_len, varlen=varlen,
+        hp=hp, d=d,
     )
     out_shape = (
-        jax.ShapeDtypeStruct((BH, Lq_p, D), out_dtype),
-        jax.ShapeDtypeStruct((BH, Lq_p, STAT_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, Lq_p, GW), out_dtype),
+        jax.ShapeDtypeStruct((Bg, G, Lq_p, SLh), jnp.float32),
     )
     if Lk_p == block_k:
         return pl.pallas_call(
             functools.partial(_fwd_kernel_single, **kwargs),
             out_shape=out_shape,
-            grid=(BH, Lq_p // block_q),
+            grid=(Bg, G, Lq_p // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, W), lambda b, g, qi: (b, qi, g)),
+                pl.BlockSpec((1, block_k, W), lambda b, g, qi: (b, 0, g)),
+                pl.BlockSpec((1, block_k, W), lambda b, g, qi: (b, 0, g)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, W), lambda b, g, qi: (b, qi, g)),
+                pl.BlockSpec((1, 1, block_q, SLh), lambda b, g, qi: (b, g, qi, 0)),
             ),
-            compiler_params=_compiler_params("parallel", "parallel"),
+            compiler_params=_compiler_params("parallel", "parallel", "parallel"),
             interpret=_interpret(),
         )(qb, kb, vb, klen)
-    grid = (BH, Lq_p // block_q, Lk_p // block_k)
+    grid = (Bg, G, Lq_p // block_q, Lk_p // block_k)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, **kwargs),
         out_shape=out_shape,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_q, W), lambda b, g, qi, ki: (b, qi, g)),
+            pl.BlockSpec((1, block_k, W), lambda b, g, qi, ki: (b, ki, g)),
+            pl.BlockSpec((1, block_k, W), lambda b, g, qi, ki: (b, ki, g)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, W), lambda b, g, qi, ki: (b, qi, g)),
+            pl.BlockSpec((1, 1, block_q, SLh), lambda b, g, qi, ki: (b, g, qi, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, STAT_LANES), jnp.float32),
-            pltpu.VMEM((block_q, STAT_LANES), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, SLh), jnp.float32),
+            pltpu.VMEM((block_q, SLh), jnp.float32),
+            pltpu.VMEM((block_q, W), jnp.float32),
         ],
-        compiler_params=_compiler_params("parallel", "parallel", "arbitrary"),
+        compiler_params=_compiler_params(
+            "parallel", "parallel", "parallel", "arbitrary"
+        ),
         interpret=_interpret(),
     )(qb, kb, vb, klen)
 
@@ -311,131 +343,149 @@ def _fwd_flat(qb, kb, vb, klen, *, scale, causal, block_q, block_k, kv_len,
 def _bwd_kernel_single(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dq_ref, dk_ref, dv_ref,
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen, hp, d,
 ):
     """nq == nk == 1 (every cruller/donut training site): one kernel for all
     three grads — s/p/dp are computed once instead of once per dq and dk/dv
     kernel (5 matmul passes vs 7, and q/k/v/do stream from HBM once)."""
     q = q_ref[0]
     k = k_ref[0]
-    s = _scaled(jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ), scale)
-    if varlen:
-        s = s + _tail_bias(0, block_q, block_k, klen_ref[pl.program_id(0), 0])
-    elif kv_pad:
-        s = s + _tail_bias(0, block_q, block_k, kv_len)
-    if causal:
-        s = jnp.where(
-            _causal_mask(0, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
-        )
-    lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
-    p = jnp.exp(s - lse).astype(do_ref.dtype)  # (block_q, block_k)
+    v = v_ref[0]
     do = do_ref[0]
-    dv_ref[0] = jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(
-        do, v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = _scaled(p.astype(jnp.float32) * (dp - delta_ref[0][:, :1]), scale).astype(q.dtype)
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dk_ref.dtype)
+    for h in range(hp):
+        hs = slice(h * d, (h + 1) * d)
+        s = _scaled(jax.lax.dot_general(
+            q[:, hs], k[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ), scale)
+        if varlen:
+            s = s + _tail_bias(0, block_q, block_k, klen_ref[pl.program_id(0), 0])
+        elif kv_pad:
+            s = s + _tail_bias(0, block_q, block_k, kv_len)
+        if causal:
+            s = jnp.where(
+                _causal_mask(0, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
+            )
+        lse = jnp.maximum(
+            lse_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1], NEG_INF * 0.5
+        )
+        p = jnp.exp(s - lse).astype(do.dtype)  # (block_q, block_k)
+        dv_ref[0, :, hs] = jax.lax.dot_general(
+            p, do[:, hs], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do[:, hs], v[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = delta_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1]
+        ds = _scaled(p.astype(jnp.float32) * (dp - delta), scale).astype(q.dtype)
+        dq_ref[0, :, hs] = jax.lax.dot_general(
+            ds, k[:, hs], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, hs] = jax.lax.dot_general(
+            ds, q[:, hs], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
 
 
 def _bwd_dq_kernel_single(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dq_ref,
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen, hp, d,
 ):
     """nk == 1: recompute p once and write dq directly, no accumulator."""
-    qi = pl.program_id(1)
+    qi = pl.program_id(2)
     q = q_ref[0]
     k = k_ref[0]
-    s = _scaled(jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ), scale)
-    if varlen:
-        s = s + _tail_bias(0, block_q, block_k, klen_ref[pl.program_id(0), 0])
-    elif kv_pad:
-        s = s + _tail_bias(0, block_q, block_k, kv_len)
-    if causal:
-        s = jnp.where(
-            _causal_mask(qi, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
-        )
-    lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
-    p = jnp.exp(s - lse)
+    v = v_ref[0]
     do = do_ref[0]
-    dp = jax.lax.dot_general(
-        do, v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = _scaled(p * (dp - delta_ref[0][:, :1]), scale)
-    dq_ref[0] = jax.lax.dot_general(
-        ds.astype(k.dtype), k,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dq_ref.dtype)
+    for h in range(hp):
+        hs = slice(h * d, (h + 1) * d)
+        s = _scaled(jax.lax.dot_general(
+            q[:, hs], k[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ), scale)
+        if varlen:
+            s = s + _tail_bias(0, block_q, block_k, klen_ref[pl.program_id(0), 0])
+        elif kv_pad:
+            s = s + _tail_bias(0, block_q, block_k, kv_len)
+        if causal:
+            s = jnp.where(
+                _causal_mask(qi, 0, block_q, block_k, kv_len - q_len), s, NEG_INF
+            )
+        lse = jnp.maximum(
+            lse_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1], NEG_INF * 0.5
+        )
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do[:, hs], v[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = delta_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1]
+        ds = _scaled(p * (dp - delta), scale)
+        dq_ref[0, :, hs] = jax.lax.dot_general(
+            ds.astype(k.dtype), k[:, hs],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel_single(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dk_ref, dv_ref,
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen, hp, d,
 ):
     """nq == 1: single q block, write dk/dv directly, no accumulators."""
-    ki = pl.program_id(1)
+    ki = pl.program_id(2)
     q = q_ref[0]
     k = k_ref[0]
-    s = _scaled(jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ), scale)
-    if varlen:
-        s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
-    elif kv_pad:
-        s = s + _tail_bias(ki, block_q, block_k, kv_len)
-    if causal:
-        s = jnp.where(
-            _causal_mask(0, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
-        )
-    lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
-    p = jnp.exp(s - lse).astype(do_ref.dtype)
+    v = v_ref[0]
     do = do_ref[0]
-    dv_ref[0] = jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(
-        do, v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = _scaled(p.astype(jnp.float32) * (dp - delta_ref[0][:, :1]), scale).astype(q.dtype)
-    dk_ref[0] = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dk_ref.dtype)
+    for h in range(hp):
+        hs = slice(h * d, (h + 1) * d)
+        s = _scaled(jax.lax.dot_general(
+            q[:, hs], k[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ), scale)
+        if varlen:
+            s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
+        elif kv_pad:
+            s = s + _tail_bias(ki, block_q, block_k, kv_len)
+        if causal:
+            s = jnp.where(
+                _causal_mask(0, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
+            )
+        lse = jnp.maximum(
+            lse_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1], NEG_INF * 0.5
+        )
+        p = jnp.exp(s - lse).astype(do.dtype)
+        dv_ref[0, :, hs] = jax.lax.dot_general(
+            p, do[:, hs], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do[:, hs], v[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = delta_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1]
+        ds = _scaled(p.astype(jnp.float32) * (dp - delta), scale).astype(q.dtype)
+        dk_ref[0, :, hs] = jax.lax.dot_general(
+            ds, q[:, hs], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
 
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dq_ref,
-    dq_scratch,  # (block_q, D) f32
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
+    dq_scratch,  # (block_q, hp*d) f32
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen, hp, d,
 ):
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
-    nk = pl.num_programs(2)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
 
     @pl.when(ki == 0)
     def _init():
@@ -444,34 +494,40 @@ def _bwd_dq_kernel(
     def body(masked):
         q = q_ref[0]
         k = k_ref[0]
-        s = _scaled(jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ), scale)
-        if varlen:
-            s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
-        elif kv_pad:
-            s = s + _tail_bias(ki, block_q, block_k, kv_len)
-        if masked:
-            s = jnp.where(
-                _causal_mask(qi, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
-            )
-        # clamp keeps fully-masked rows (lse == NEG_INF) at p == 0 instead of
-        # inf, so padding can never leak NaNs into the grads
-        lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
-        p = jnp.exp(s - lse)  # (block_q, block_k)
+        v = v_ref[0]
         do = do_ref[0]
-        dp = jax.lax.dot_general(
-            do, v_ref[0],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = _scaled(p * (dp - delta_ref[0][:, :1]), scale)
-        dq_scratch[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for h in range(hp):
+            hs = slice(h * d, (h + 1) * d)
+            s = _scaled(jax.lax.dot_general(
+                q[:, hs], k[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ), scale)
+            if varlen:
+                s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
+            elif kv_pad:
+                s = s + _tail_bias(ki, block_q, block_k, kv_len)
+            if masked:
+                s = jnp.where(
+                    _causal_mask(qi, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
+                )
+            # clamp keeps fully-masked rows (lse == NEG_INF) at p == 0 instead
+            # of inf, so padding can never leak NaNs into the grads
+            lse = jnp.maximum(
+                lse_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1], NEG_INF * 0.5
+            )
+            p = jnp.exp(s - lse)  # (block_q, block_k)
+            dp = jax.lax.dot_general(
+                do[:, hs], v[:, hs],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = delta_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1]
+            ds = _scaled(p * (dp - delta), scale)
+            dq_scratch[:, hs] += jax.lax.dot_general(
+                ds.astype(k.dtype), k[:, hs],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     if causal:
         fully_masked, fully_visible = _tile_classes(
@@ -496,12 +552,12 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, klen_ref,
     dk_ref, dv_ref,
-    dk_scratch, dv_scratch,  # (block_k, D) f32
-    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen,
+    dk_scratch, dv_scratch,  # (block_k, hp*d) f32
+    *, scale, causal, block_q, block_k, kv_len, q_len, kv_pad, varlen, hp, d,
 ):
-    ki = pl.program_id(1)
-    qi = pl.program_id(2)
-    nq = pl.num_programs(2)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
 
     @pl.when(qi == 0)
     def _init():
@@ -509,39 +565,45 @@ def _bwd_dkv_kernel(
         dv_scratch[:] = jnp.zeros_like(dv_scratch)
 
     def body(masked):
-        q = q_ref[0]  # (block_q, D)
-        k = k_ref[0]  # (block_k, D)
-        s = _scaled(jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ), scale)
-        if varlen:
-            s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
-        elif kv_pad:
-            s = s + _tail_bias(ki, block_q, block_k, kv_len)
-        if masked:
-            s = jnp.where(
-                _causal_mask(qi, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
-            )
-        lse = jnp.maximum(lse_ref[0][:, :1], NEG_INF * 0.5)
-        p = jnp.exp(s - lse).astype(do_ref.dtype)  # (block_q, block_k)
+        q = q_ref[0]  # (block_q, hp*d)
+        k = k_ref[0]  # (block_k, hp*d)
+        v = v_ref[0]
         do = do_ref[0]
-        dv_scratch[:] += jax.lax.dot_general(
-            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do, v_ref[0],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = _scaled(p.astype(jnp.float32) * (dp - delta_ref[0][:, :1]), scale).astype(
-            q.dtype
-        )  # (block_q, block_k)
-        dk_scratch[:] += jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for h in range(hp):
+            hs = slice(h * d, (h + 1) * d)
+            s = _scaled(jax.lax.dot_general(
+                q[:, hs], k[:, hs], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ), scale)
+            if varlen:
+                s = s + _tail_bias(ki, block_q, block_k, klen_ref[pl.program_id(0), 0])
+            elif kv_pad:
+                s = s + _tail_bias(ki, block_q, block_k, kv_len)
+            if masked:
+                s = jnp.where(
+                    _causal_mask(qi, ki, block_q, block_k, kv_len - q_len), s, NEG_INF
+                )
+            lse = jnp.maximum(
+                lse_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1], NEG_INF * 0.5
+            )
+            p = jnp.exp(s - lse).astype(do.dtype)  # (block_q, block_k)
+            dv_scratch[:, hs] += jax.lax.dot_general(
+                p, do[:, hs], dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do[:, hs], v[:, hs],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = delta_ref[0, 0][:, h * STAT_LANES:h * STAT_LANES + 1]
+            ds = _scaled(p.astype(jnp.float32) * (dp - delta), scale).astype(
+                q.dtype
+            )  # (block_q, block_k)
+            dk_scratch[:, hs] += jax.lax.dot_general(
+                ds, q[:, hs], dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     if causal:
         fully_masked, fully_visible = _tile_classes(
@@ -565,129 +627,140 @@ def _bwd_dkv_kernel(
 
 
 def _bwd_flat(qb, kb, vb, do, lse, delta, klen, *, scale, causal, block_q,
-              block_k, kv_len, q_len, varlen):
+              block_k, kv_len, q_len, varlen, hp, d):
     from jax.experimental.pallas import tpu as pltpu
 
-    BH, Lq_p, D = qb.shape
+    Bg, Lq_p, GW = qb.shape
+    W = hp * d
+    G = GW // W
     Lk_p = kb.shape[1]
+    SLh = hp * STAT_LANES
     kwargs = dict(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=kv_len, q_len=q_len, kv_pad=Lk_p != kv_len, varlen=varlen,
+        hp=hp, d=d,
     )
+    qspec3 = lambda idx: pl.BlockSpec((1, block_q, W), idx)
+    kspec3 = lambda idx: pl.BlockSpec((1, block_k, W), idx)
+    sspec3 = lambda idx: pl.BlockSpec((1, 1, block_q, SLh), idx)
 
     if Lq_p == block_q and Lk_p == block_k:
         return pl.pallas_call(
             functools.partial(_bwd_kernel_single, **kwargs),
             out_shape=(
-                jax.ShapeDtypeStruct((BH, Lq_p, D), qb.dtype),
-                jax.ShapeDtypeStruct((BH, Lk_p, D), kb.dtype),
-                jax.ShapeDtypeStruct((BH, Lk_p, D), vb.dtype),
+                jax.ShapeDtypeStruct((Bg, Lq_p, GW), qb.dtype),
+                jax.ShapeDtypeStruct((Bg, Lk_p, GW), kb.dtype),
+                jax.ShapeDtypeStruct((Bg, Lk_p, GW), vb.dtype),
             ),
-            grid=(BH,),
+            grid=(Bg, G),
             in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh: (bh, 0, 0)),
-                pl.BlockSpec((1, block_q, D), lambda bh: (bh, 0, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh: (bh, 0, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh: (bh, 0, 0)),
+                qspec3(lambda b, g: (b, 0, g)),
+                kspec3(lambda b, g: (b, 0, g)),
+                kspec3(lambda b, g: (b, 0, g)),
+                qspec3(lambda b, g: (b, 0, g)),
+                sspec3(lambda b, g: (b, g, 0, 0)),
+                sspec3(lambda b, g: (b, g, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, block_q, D), lambda bh: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh: (bh, 0, 0)),
+                qspec3(lambda b, g: (b, 0, g)),
+                kspec3(lambda b, g: (b, 0, g)),
+                kspec3(lambda b, g: (b, 0, g)),
             ),
-            compiler_params=_compiler_params("parallel"),
+            compiler_params=_compiler_params("parallel", "parallel"),
             interpret=_interpret(),
         )(qb, kb, vb, do, lse, delta, klen)
 
     if Lk_p == block_k:
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel_single, **kwargs),
-            out_shape=jax.ShapeDtypeStruct((BH, Lq_p, D), qb.dtype),
-            grid=(BH, Lq_p // block_q),
+            out_shape=jax.ShapeDtypeStruct((Bg, Lq_p, GW), qb.dtype),
+            grid=(Bg, G, Lq_p // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, qi: (bh, 0, 0)),
-                pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi: (bh, qi, 0)),
+                qspec3(lambda b, g, qi: (b, qi, g)),
+                kspec3(lambda b, g, qi: (b, 0, g)),
+                kspec3(lambda b, g, qi: (b, 0, g)),
+                qspec3(lambda b, g, qi: (b, qi, g)),
+                sspec3(lambda b, g, qi: (b, g, qi, 0)),
+                sspec3(lambda b, g, qi: (b, g, qi, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
-            compiler_params=_compiler_params("parallel", "parallel"),
+            out_specs=qspec3(lambda b, g, qi: (b, qi, g)),
+            compiler_params=_compiler_params("parallel", "parallel", "parallel"),
             interpret=_interpret(),
         )(qb, kb, vb, do, lse, delta, klen)
     else:
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel, **kwargs),
-            out_shape=jax.ShapeDtypeStruct((BH, Lq_p, D), qb.dtype),
-            grid=(BH, Lq_p // block_q, Lk_p // block_k),
+            out_shape=jax.ShapeDtypeStruct((Bg, Lq_p, GW), qb.dtype),
+            grid=(Bg, G, Lq_p // block_q, Lk_p // block_k),
             in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, qi, ki: (bh, ki, 0)),
-                pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi, ki: (bh, qi, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, qi, ki: (bh, qi, 0)),
+                qspec3(lambda b, g, qi, ki: (b, qi, g)),
+                kspec3(lambda b, g, qi, ki: (b, ki, g)),
+                kspec3(lambda b, g, qi, ki: (b, ki, g)),
+                qspec3(lambda b, g, qi, ki: (b, qi, g)),
+                sspec3(lambda b, g, qi, ki: (b, g, qi, 0)),
+                sspec3(lambda b, g, qi, ki: (b, g, qi, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi, ki: (bh, qi, 0)),
-            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
-            compiler_params=_compiler_params("parallel", "parallel", "arbitrary"),
+            out_specs=qspec3(lambda b, g, qi, ki: (b, qi, g)),
+            scratch_shapes=[pltpu.VMEM((block_q, W), jnp.float32)],
+            compiler_params=_compiler_params(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
             interpret=_interpret(),
         )(qb, kb, vb, do, lse, delta, klen)
 
     dkv_out_shape = (
-        jax.ShapeDtypeStruct((BH, Lk_p, D), kb.dtype),
-        jax.ShapeDtypeStruct((BH, Lk_p, D), vb.dtype),
+        jax.ShapeDtypeStruct((Bg, Lk_p, GW), kb.dtype),
+        jax.ShapeDtypeStruct((Bg, Lk_p, GW), vb.dtype),
     )
     if Lq_p == block_q:
         dk, dv = pl.pallas_call(
             functools.partial(_bwd_dkv_kernel_single, **kwargs),
             out_shape=dkv_out_shape,
-            grid=(BH, Lk_p // block_k),
+            grid=(Bg, G, Lk_p // block_k),
             in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh, ki: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0)),
-                pl.BlockSpec((1, block_q, D), lambda bh, ki: (bh, 0, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki: (bh, 0, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki: (bh, 0, 0)),
+                qspec3(lambda b, g, ki: (b, 0, g)),
+                kspec3(lambda b, g, ki: (b, ki, g)),
+                kspec3(lambda b, g, ki: (b, ki, g)),
+                qspec3(lambda b, g, ki: (b, 0, g)),
+                sspec3(lambda b, g, ki: (b, g, 0, 0)),
+                sspec3(lambda b, g, ki: (b, g, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0)),
+                kspec3(lambda b, g, ki: (b, ki, g)),
+                kspec3(lambda b, g, ki: (b, ki, g)),
             ),
-            compiler_params=_compiler_params("parallel", "parallel"),
+            compiler_params=_compiler_params("parallel", "parallel", "parallel"),
             interpret=_interpret(),
         )(qb, kb, vb, do, lse, delta, klen)
     else:
         dk, dv = pl.pallas_call(
             functools.partial(_bwd_dkv_kernel, **kwargs),
             out_shape=dkv_out_shape,
-            grid=(BH, Lk_p // block_k, Lq_p // block_q),
+            grid=(Bg, G, Lk_p // block_k, Lq_p // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh, ki, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, ki, qi: (bh, ki, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, ki, qi: (bh, ki, 0)),
-                pl.BlockSpec((1, block_q, D), lambda bh, ki, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki, qi: (bh, qi, 0)),
-                pl.BlockSpec((1, block_q, STAT_LANES), lambda bh, ki, qi: (bh, qi, 0)),
+                qspec3(lambda b, g, ki, qi: (b, qi, g)),
+                kspec3(lambda b, g, ki, qi: (b, ki, g)),
+                kspec3(lambda b, g, ki, qi: (b, ki, g)),
+                qspec3(lambda b, g, ki, qi: (b, qi, g)),
+                sspec3(lambda b, g, ki, qi: (b, g, qi, 0)),
+                sspec3(lambda b, g, ki, qi: (b, g, qi, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, block_k, D), lambda bh, ki, qi: (bh, ki, 0)),
-                pl.BlockSpec((1, block_k, D), lambda bh, ki, qi: (bh, ki, 0)),
+                kspec3(lambda b, g, ki, qi: (b, ki, g)),
+                kspec3(lambda b, g, ki, qi: (b, ki, g)),
             ),
             scratch_shapes=[
-                pltpu.VMEM((block_k, D), jnp.float32),
-                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, W), jnp.float32),
+                pltpu.VMEM((block_k, W), jnp.float32),
             ],
-            compiler_params=_compiler_params("parallel", "parallel", "arbitrary"),
+            compiler_params=_compiler_params(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
             interpret=_interpret(),
         )(qb, kb, vb, do, lse, delta, klen)
     return dq, dk, dv
@@ -695,12 +768,21 @@ def _bwd_flat(qb, kb, vb, do, lse, delta, klen, *, scale, causal, block_q,
 
 # ---------------------------------------------------------------------------
 # public entry. The custom VJP boundary sits at the flat (B, L, H*D) level
-# so autodiff residuals are the unpadded packed arrays: saving the kernel
-# operands in (B*H, L, D) head-split form costs 2x HBM at head_dim 64 (the
-# minor dim pads to the 128-lane tile — seen in an HBM OOM dump at
-# cruller_large scale) and similarly 16x for 8-lane lse rows. The backward
-# redoes the cheap head-split transposes instead.
+# so autodiff residuals are the unpadded packed arrays. When 128 % head_dim
+# == 0 and the heads divide evenly (every current model: head_dim 64), the
+# kernels read hp = 128 // D whole heads per 128-lane block straight from
+# the (B, L, H*D) projection layout — the head-split transpose that used to
+# materialize (B*H, L, D) copies in HBM (measured ~16% of the eval encode at
+# B=32) no longer exists. Other head dims fall back to the split layout.
 # ---------------------------------------------------------------------------
+
+
+def _heads_per_block(H: int, D: int) -> int:
+    """hp = heads per 128-lane kernel block for the packed (no-transpose)
+    layout; 0 when the shape can't pack (legacy split layout)."""
+    if D <= LANES and LANES % D == 0 and H % (LANES // D) == 0:
+        return LANES // D
+    return 0
 
 
 def _split_heads(xf, H, L_p):
@@ -733,20 +815,30 @@ def _expand_klen(kv_lens, B, H):
 
 def _flash_packed_fwd(qf, kf, vf, kv_lens, H, scale, causal, block_q, block_k, varlen):
     B, Lq, HD = qf.shape
+    D = HD // H
     Lk = kf.shape[1]
     Lq_p = ((Lq + block_q - 1) // block_q) * block_q
     Lk_p = ((Lk + block_k - 1) // block_k) * block_k
-    qb = _split_heads(qf, H, Lq_p)
-    kb = _split_heads(kf, H, Lk_p)
-    vb = _split_heads(vf, H, Lk_p)
+    hpb = _heads_per_block(H, D)
+    if hpb:
+        qb = _pad_to(qf, Lq_p, 1)
+        kb = _pad_to(kf, Lk_p, 1)
+        vb = _pad_to(vf, Lk_p, 1)
+        klen = kv_lens.astype(jnp.int32)[:, None]
+    else:
+        qb = _split_heads(qf, H, Lq_p)
+        kb = _split_heads(kf, H, Lk_p)
+        vb = _split_heads(vf, H, Lk_p)
+        klen = _expand_klen(kv_lens, B, H)
     o, lse = _fwd_flat(
-        qb, kb, vb, _expand_klen(kv_lens, B, H),
+        qb, kb, vb, klen,
         scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_len=Lk, q_len=Lq, varlen=varlen,
-        out_dtype=qb.dtype,
+        out_dtype=qb.dtype, hp=max(hpb, 1), d=D,
     )
-    of = _merge_heads(o, B, H, Lq)
-    return of, (qf, kf, vf, kv_lens, of, lse[:, :, 0])
+    of = o[:, :Lq] if hpb else _merge_heads(o, B, H, Lq)
+    # compact per-head lse residual: (Bg, G, Lq_p, hp)
+    return of, (qf, kf, vf, kv_lens, of, lse[..., ::STAT_LANES])
 
 
 def _flash_packed_vjp_fwd(qf, kf, vf, kv_lens, H, scale, causal, block_q, block_k, varlen):
@@ -759,36 +851,53 @@ def _flash_packed_vjp_fwd(qf, kf, vf, kv_lens, H, scale, causal, block_q, block_
 def _flash_packed_vjp_bwd(H, scale, causal, block_q, block_k, varlen, res, dof):
     import numpy as np
 
-    qf, kf, vf, kv_lens, of, lse2 = res
+    qf, kf, vf, kv_lens, of, lse4c = res
     B, Lq, HD = qf.shape
     D = HD // H
     Lk = kf.shape[1]
     Lq_p = ((Lq + block_q - 1) // block_q) * block_q
     Lk_p = ((Lk + block_k - 1) // block_k) * block_k
+    hpb = _heads_per_block(H, D)
 
-    qb = _split_heads(qf, H, Lq_p)
-    kb = _split_heads(kf, H, Lk_p)
-    vb = _split_heads(vf, H, Lk_p)
-    dob = _split_heads(dof, H, Lq_p)
-    # delta in the packed layout (one fused XLA pass), then head-split
-    d = (dof.astype(jnp.float32) * of.astype(jnp.float32)).reshape(
+    # delta = sum(do * o) per (row, head) in one fused XLA pass
+    dh = (dof.astype(jnp.float32) * of.astype(jnp.float32)).reshape(
         B, Lq, H, D
     ).sum(-1)  # (B, Lq, H)
-    d = _pad_to(d, Lq_p, 1).transpose(0, 2, 1).reshape(B * H, Lq_p)
-    delta = jnp.broadcast_to(d[:, :, None], (B * H, Lq_p, STAT_LANES))
-    lse = jnp.broadcast_to(lse2[:, :, None], (*lse2.shape, STAT_LANES))
+    if hpb:
+        qb = _pad_to(qf, Lq_p, 1)
+        kb = _pad_to(kf, Lk_p, 1)
+        vb = _pad_to(vf, Lk_p, 1)
+        dob = _pad_to(dof, Lq_p, 1)
+        klen = kv_lens.astype(jnp.int32)[:, None]
+        # lanes pack head h = g*hp + j at [g*128 + j*D : ...], so the H axis
+        # folds (G, hp) in head order; the (B, Lq, H) -> (B, G, Lq, hp) move
+        # is tiny (H lanes) compared to the head-split it replaces
+        d4 = _pad_to(dh, Lq_p, 1).reshape(B, Lq_p, H // hpb, hpb).transpose(0, 2, 1, 3)
+    else:
+        qb = _split_heads(qf, H, Lq_p)
+        kb = _split_heads(kf, H, Lk_p)
+        vb = _split_heads(vf, H, Lk_p)
+        dob = _split_heads(dof, H, Lq_p)
+        klen = _expand_klen(kv_lens, B, H)
+        d4 = _pad_to(dh, Lq_p, 1).transpose(0, 2, 1).reshape(B * H, 1, Lq_p, 1)
+    delta = jnp.repeat(d4, STAT_LANES, axis=-1)
+    lse = jnp.repeat(lse4c, STAT_LANES, axis=-1)
     dq, dk, dv = _bwd_flat(
-        qb, kb, vb, dob, lse, delta, _expand_klen(kv_lens, B, H),
+        qb, kb, vb, dob, lse, delta, klen,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_len=Lk, q_len=Lq, varlen=varlen,
+        kv_len=Lk, q_len=Lq, varlen=varlen, hp=max(hpb, 1), d=D,
     )
     d_lens = np.zeros(kv_lens.shape, dtype=jax.dtypes.float0)
-    return (
-        _merge_heads(dq, B, H, Lq),
-        _merge_heads(dk, B, H, Lk),
-        _merge_heads(dv, B, H, Lk),
-        d_lens,
-    )
+    if hpb:
+        out = (dq[:, :Lq], dk[:, :Lk], dv[:, :Lk], d_lens)
+    else:
+        out = (
+            _merge_heads(dq, B, H, Lq),
+            _merge_heads(dk, B, H, Lk),
+            _merge_heads(dv, B, H, Lk),
+            d_lens,
+        )
+    return out
 
 
 _flash_packed.defvjp(_flash_packed_vjp_fwd, _flash_packed_vjp_bwd)
