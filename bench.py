@@ -393,6 +393,7 @@ def bench_train_pipeline(
 def bench_eval_decode(
     model_name, batch_size, new_tokens, steps, dtype, reps=3,
     label="eval/decode", image_size=None, attn_impl=None,
+    kv_cache_dtype="bf16",
 ):
     import flax.linen as nn
     import jax
@@ -410,7 +411,10 @@ def bench_eval_decode(
     vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
     if attn_impl is None:
         attn_impl = "flash" if jax.devices()[0].platform != "cpu" else "xla"
-    model = Cruller(vit_cfg, bart_cfg, dtype=dtype, attn_impl=attn_impl)
+    model = Cruller(
+        vit_cfg, bart_cfg, dtype=dtype, attn_impl=attn_impl,
+        kv_cache_dtype=kv_cache_dtype,
+    )
     mesh = create_mesh()
     n_chips = mesh.devices.size
 
@@ -548,6 +552,18 @@ def main():
         )
         extra["eval_decode_pages_per_sec_per_chip"] = dec["pages_per_sec_per_chip"]
         extra["eval_decode_new_tokens_per_sec_per_chip"] = dec["new_tokens_per_sec_per_chip"]
+        if on_accelerator:
+            # opt-in int8 cross-KV cache (kv_cache_dtype='int8'): halves the
+            # decode loop's dominant HBM traffic; bf16 stays the parity
+            # default above (greedy tokens can differ at quantization noise)
+            dec8 = bench_eval_decode(
+                model_name, decode_bs, decode_len, decode_steps, dtype,
+                reps=decode_reps, label="eval/decode_int8kv",
+                kv_cache_dtype="int8",
+            )
+            extra["eval_decode_int8kv_pages_per_sec_per_chip"] = (
+                dec8["pages_per_sec_per_chip"]
+            )
     if "large" in modes:
         # the reference's documented pretrain recipe: cruller_large b=8 bf16
         # (README.md:19-41). Fastest measured batch-8 form: remat='gelu'

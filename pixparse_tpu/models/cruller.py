@@ -55,6 +55,7 @@ class Cruller(nn.Module):
     max_cache_len: int = 0
     attn_impl: str = "xla"
     remat: Any = False  # False | True/"full" | "dots" (see vit._remat_policy)
+    kv_cache_dtype: str = "bf16"  # 'int8': quantized cross-KV decode cache
 
     def setup(self):
         if isinstance(self.vit_cfg, SwinCfg):
@@ -70,6 +71,7 @@ class Cruller(nn.Module):
         self.text_decoder = BartCausalDecoder(
             self.bart_cfg, max_cache_len=self.max_cache_len, dtype=self.dtype,
             remat=self.remat, attn_impl=self.attn_impl,
+            kv_cache_dtype=self.kv_cache_dtype,
         )
 
     def __call__(

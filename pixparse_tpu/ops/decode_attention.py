@@ -121,6 +121,149 @@ def _decode_attention_local(q, k, v, mask, *, num_heads, interpret=False):
     return out
 
 
+def _decode_attn_q8_kernel(
+    q_ref,      # (1, 1, HD) block per sample (compute dtype)
+    k_ref,      # (1, Lk_pad, HD) int8
+    v_ref,      # (1, Lk_pad, HD) int8
+    ks_ref,     # (1, Hp, Lk_pad) f32 per-(head, position) key scales
+    vs_ref,     # (1, Hp, Lk_pad) f32 value scales
+    mask_ref,   # (1, 1, Lk_pad) int32, >0 = attend
+    o_ref,      # (1, 1, HD)
+    *, H, D, Lk, scale, out_dtype,
+):
+    """int8 cross-KV decode attention: the caches stream from HBM at HALF
+    the bytes of bf16 (the decode loop's dominant traffic) and the dots run
+    on the MXU's native int8 path — NO per-element dequantization of the
+    (Lk, D) tiles ever happens (a bf16-convert variant measured the VPU
+    converts eating ~80% of the DMA savings). The query and the probability
+    rows are quantized in-kernel (tiny (1, D)/(H, Lk) work); all scales fold
+    into the (H, Lk) score/probability tiles."""
+    Lk_pad = k_ref.shape[1]
+    k = k_ref[0]  # (Lk_pad, HD) int8
+    q = q_ref[0]  # (1, HD) compute dtype
+
+    rows = []
+    for h in range(H):
+        qh = q[:, h * D:(h + 1) * D].astype(jnp.float32)  # (1, D)
+        qmax = jnp.max(jnp.abs(qh), axis=1, keepdims=True)
+        qscale = jnp.maximum(qmax, 1e-20) / 127.0         # (1, 1)
+        q_i8 = jnp.clip(jnp.round(qh / qscale), -127, 127).astype(jnp.int8)
+        kh = k[:, h * D:(h + 1) * D]                      # (Lk_pad, D) int8
+        raw = jax.lax.dot_general(
+            q_i8, kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (1, Lk_pad) exact int32
+        rows.append(raw.astype(jnp.float32) * qscale)
+    # fold per-(head, position) key scales + the softmax scale into the
+    # (H, Lk) score tile — one elementwise pass over H*Lk, not Lk*HD
+    s = jnp.concatenate(rows, axis=0) * (ks_ref[0, :H] * scale)
+
+    valid = mask_ref[0] > 0
+    if Lk < Lk_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, Lk_pad), 1)
+        valid = valid & (col < Lk)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    dead = m <= NEG_INF * 0.5
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    p = jnp.where(dead, 0.0, p / jnp.where(l == 0.0, 1.0, l))
+    # value scales fold into the probability rows, which are then themselves
+    # int8-quantized per head so the PV reduction also runs int8 on the MXU
+    pv = p * vs_ref[0, :H]                                # (H, Lk_pad) f32
+    pmax = jnp.max(jnp.abs(pv), axis=1, keepdims=True)
+    pscale = jnp.maximum(pmax, 1e-20) / 127.0             # (H, 1)
+    pv_i8 = jnp.clip(jnp.round(pv / pscale), -127, 127).astype(jnp.int8)
+
+    v = v_ref[0]  # (Lk_pad, HD) int8
+    outs = []
+    for h in range(H):
+        vh = v[:, h * D:(h + 1) * D]
+        raw = jax.lax.dot_general(
+            pv_i8[h:h + 1], vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (1, D) exact int32
+        outs.append(raw.astype(jnp.float32) * pscale[h:h + 1])
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(out_dtype)
+
+
+def quantize_kv_rows(x: jax.Array, num_heads: int):
+    """Per-(sample, position, head) symmetric int8 quantization of a flat
+    (B, L, H*D) cache tensor.
+
+    Returns ``(x_i8 (B, L, H*D) int8, scales (B, Hp, L) f32)`` with Hp = H
+    rounded up to a sublane multiple (8) so the scale tensor tiles cleanly
+    as a kernel operand. Scales are absmax/127 per head-row; zero rows get
+    scale 1 (their int8 payload is all zeros)."""
+    B, L, HD = x.shape
+    D = HD // num_heads
+    xf = x.astype(jnp.float32).reshape(B, L, num_heads, D)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)                # (B, L, H)
+    scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    x_i8 = jnp.clip(
+        jnp.round(xf / scales[..., None]), -127, 127
+    ).astype(jnp.int8).reshape(B, L, HD)
+    Hp = -(-num_heads // 8) * 8
+    scales_t = jnp.pad(
+        scales.transpose(0, 2, 1), ((0, 0), (0, Hp - num_heads), (0, 0)),
+        constant_values=1.0,
+    )  # (B, Hp, L)
+    return x_i8, scales_t
+
+
+def decode_attention_q8(
+    q: jax.Array,        # (B, 1, HD) single-position queries, heads flat
+    k_i8: jax.Array,     # (B, Lk, HD) int8 key cache
+    v_i8: jax.Array,     # (B, Lk, HD) int8 value cache
+    k_scale: jax.Array,  # (B, Hp, Lk) f32 per-(head, position) key scales
+    v_scale: jax.Array,  # (B, Hp, Lk) f32 value scales
+    mask: jax.Array,     # (B, Lk) True/nonzero = attend
+    num_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token decode attention over int8-quantized flat KV caches
+    (see ``quantize_kv_rows``). Single-device only: under a >1-device mesh
+    callers keep the bf16 path (the per-head scale layout doesn't shard on
+    whole-head boundaries cleanly)."""
+    B, Lk, HD = k_i8.shape
+    D = HD // num_heads
+    scale = D ** -0.5
+    Hp = k_scale.shape[1]
+    Lk_pad = ((Lk + LANES - 1) // LANES) * LANES
+    if Lk_pad != Lk:
+        widths = ((0, 0), (0, Lk_pad - Lk), (0, 0))
+        k_i8 = jnp.pad(k_i8, widths)
+        v_i8 = jnp.pad(v_i8, widths)
+        swidths = ((0, 0), (0, 0), (0, Lk_pad - Lk))
+        k_scale = jnp.pad(k_scale, swidths, constant_values=1.0)
+        v_scale = jnp.pad(v_scale, swidths, constant_values=1.0)
+        mask = jnp.pad(mask, ((0, 0), (0, Lk_pad - Lk)))
+
+    kernel = functools.partial(
+        _decode_attn_q8_kernel, H=num_heads, D=D, Lk=Lk, scale=scale,
+        out_dtype=q.dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Lk_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Lk_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Hp, Lk_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Hp, Lk_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Lk_pad), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, HD), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, HD), q.dtype),
+        interpret=interpret,
+    )(q, k_i8, v_i8, k_scale, v_scale, mask.astype(jnp.int32)[:, None, :])
+    return out
+
+
 def decode_attention(
     q: jax.Array,      # (B, 1, HD) single-position queries, heads flat
     k: jax.Array,      # (B, Lk, HD) flat key cache

@@ -146,3 +146,90 @@ def test_decode_attention_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
     )
+
+
+def test_decode_attention_q8_close_to_bf16():
+    """int8 cross-KV path: per-(row, head) quantization keeps the attention
+    output within quantization noise of the exact path."""
+    from pixparse_tpu.ops.decode_attention import (
+        decode_attention_q8, quantize_kv_rows,
+    )
+
+    B, Lk, H, D = 3, 1009, 4, 64
+    q, k, v = _rand(B, Lk, H, D, seed=13)
+    mask = np.ones((B, Lk), bool)
+    mask[1, 700:] = False
+    mask = jnp.asarray(mask)
+    ref = _ref(q, k, v, mask, H)
+
+    k_i8, ks = quantize_kv_rows(k, H)
+    v_i8, vs = quantize_kv_rows(v, H)
+    assert k_i8.dtype == jnp.int8 and ks.shape == (B, 8, Lk)
+    out = decode_attention_q8(
+        q, k_i8, v_i8, ks, vs, mask, num_heads=H, interpret=True
+    )
+    # int8 with per-head-row scales: ~0.4% per-element noise on k and v,
+    # softmax keeps the output the same magnitude as v
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 0.01, err.mean()
+
+
+def test_q8_roundtrip_exact_for_representable():
+    """Values already on the int8 grid round-trip exactly."""
+    from pixparse_tpu.ops.decode_attention import quantize_kv_rows
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(-127, 128, (2, 64, 128)).astype(np.float32)
+    x[:, :, 0] = 127.0  # pin per-head-row absmax so scale is exactly 1/127
+    x[:, :, 64] = -127.0
+    x = jnp.asarray(x / 127.0)
+    x_i8, s = quantize_kv_rows(x, num_heads=2)
+    D = 64
+    recon = np.asarray(x_i8, np.float32).reshape(2, 64, 2, D) * np.asarray(
+        s[:, :2]
+    ).transpose(0, 2, 1)[..., None]
+    np.testing.assert_allclose(recon.reshape(2, 64, 128), np.asarray(x),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_cross_attention_int8_cache_generate_parity():
+    """Greedy generation with kv_cache_dtype='int8' produces the same tokens
+    as bf16 on the tiny model (quantization noise ~0.4% is far below the
+    logit margins of a random-init model's argmax in most positions; assert
+    a high agreement rate and identical shapes)."""
+    from pixparse_tpu.models.config import get_model_config
+    from pixparse_tpu.models.cruller import Cruller, resolve_cruller_cfgs
+    from pixparse_tpu.ops.generation import generate
+
+    cfg = get_model_config("cruller_test")
+    vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(2, *vit_cfg.img_size, vit_cfg.in_chans).astype(np.float32)
+    )
+    prompts = jnp.asarray([[0, 5], [0, 9]], jnp.int32)
+
+    outs = {}
+    for kv_dtype in ("bf16", "int8"):
+        model = Cruller(
+            vit_cfg, bart_cfg, max_cache_len=24, kv_cache_dtype=kv_dtype
+        )
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *vit_cfg.img_size, vit_cfg.in_chans)),
+            jnp.zeros((1, 4), jnp.int32),
+        )["params"]
+        import flax.linen as nn
+
+        params = nn.unbox(params)
+        enc = model.apply({"params": params}, images, method="encode")
+        res = generate(
+            model, params, enc, prompts, max_length=20,
+            eos_token_id=bart_cfg.eos_token_id,
+            pad_token_id=bart_cfg.pad_token_id,
+        )
+        outs[kv_dtype] = np.asarray(res.tokens)
+    assert outs["bf16"].shape == outs["int8"].shape
+    agree = (outs["bf16"] == outs["int8"]).mean()
+    assert agree >= 0.9, (agree, outs)
