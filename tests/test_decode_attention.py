@@ -213,7 +213,7 @@ def test_cross_attention_int8_cache_generate_parity():
     outs = {}
     for kv_dtype in ("bf16", "int8"):
         model = Cruller(
-            vit_cfg, bart_cfg, max_cache_len=24, kv_cache_dtype=kv_dtype
+            vit_cfg, bart_cfg, max_cache_len=24, kv_cache_dtype=kv_dtype,
         )
         params = model.init(
             jax.random.PRNGKey(0),
