@@ -393,7 +393,7 @@ def bench_train_pipeline(
 def bench_eval_decode(
     model_name, batch_size, new_tokens, steps, dtype, reps=3,
     label="eval/decode", image_size=None, attn_impl=None,
-    kv_cache_dtype="bf16",
+    kv_cache_dtype="bf16", lm_head_dtype="bf16",
 ):
     import flax.linen as nn
     import jax
@@ -413,7 +413,7 @@ def bench_eval_decode(
         attn_impl = "flash" if jax.devices()[0].platform != "cpu" else "xla"
     model = Cruller(
         vit_cfg, bart_cfg, dtype=dtype, attn_impl=attn_impl,
-        kv_cache_dtype=kv_cache_dtype,
+        kv_cache_dtype=kv_cache_dtype, lm_head_dtype=lm_head_dtype,
     )
     mesh = create_mesh()
     n_chips = mesh.devices.size
@@ -559,7 +559,7 @@ def main():
             dec8 = bench_eval_decode(
                 model_name, decode_bs, decode_len, decode_steps, dtype,
                 reps=decode_reps, label="eval/decode_int8kv",
-                kv_cache_dtype="int8",
+                kv_cache_dtype="int8", lm_head_dtype="int8",
             )
             extra["eval_decode_int8kv_pages_per_sec_per_chip"] = (
                 dec8["pages_per_sec_per_chip"]

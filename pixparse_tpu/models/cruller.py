@@ -56,6 +56,7 @@ class Cruller(nn.Module):
     attn_impl: str = "xla"
     remat: Any = False  # False | True/"full" | "dots" (see vit._remat_policy)
     kv_cache_dtype: str = "bf16"  # 'int8': quantized cross-KV decode cache
+    lm_head_dtype: str = "bf16"  # 'int8': generate() pre-quantizes the tied head
 
     def setup(self):
         if isinstance(self.vit_cfg, SwinCfg):
@@ -119,9 +120,13 @@ class Cruller(nn.Module):
         mode: str = "decode",
         positions: Optional[jax.Array] = None,
         encoder_pad_mask: Optional[jax.Array] = None,
+        return_hidden: bool = False,
     ) -> jax.Array:
         """Cached decode step / prefill (see BartCausalDecoder modes); with
-        ``mode='train'`` this is a cache-free teacher-forced decoder pass."""
+        ``mode='train'`` this is a cache-free teacher-forced decoder pass.
+        ``return_hidden``: pre-head hidden states — the generate loop uses
+        this to apply a pre-quantized int8 tied head outside the model (the
+        quantized table must be a while_loop constant; see ops/generation)."""
         return self.text_decoder(
             input_ids,
             encoder_output,
@@ -131,4 +136,5 @@ class Cruller(nn.Module):
             deterministic=True,
             positions=positions,
             encoder_pad_mask=encoder_pad_mask,
+            return_hidden=return_hidden,
         )

@@ -278,6 +278,7 @@ class Pix2StructCruller(nn.Module):
         mode: str = "decode",
         positions: Optional[jax.Array] = None,
         encoder_pad_mask: Optional[jax.Array] = None,
+        return_hidden: bool = False,
     ) -> jax.Array:
         return self.text_decoder(
             input_ids,
@@ -289,4 +290,5 @@ class Pix2StructCruller(nn.Module):
             positions=positions,
             encoder_pad_mask=encoder_pad_mask,
             encoder_kv_lens=_mask_lens(encoder_pad_mask),
+            return_hidden=return_hidden,
         )

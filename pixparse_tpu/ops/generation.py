@@ -86,6 +86,32 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    # opt-in int8 tied head: quantize the (V, D) embedding HERE — outside
+    # the while_loop, so the table rides in as a loop constant (quantizing
+    # inline in the model re-ran the ~38M-element round/clip chain every
+    # step: measured 170.6 vs 190.2 pages/s). Per-vocab-row scales; the
+    # decode step then returns pre-head hidden states and the head applies
+    # below with a native int8 MXU dot.
+    q8_head = getattr(model, "lm_head_dtype", "bf16") == "int8"
+    if q8_head:
+        E = params["text_decoder"]["embed_tokens"]["embedding"]
+        Ef = E.astype(jnp.float32)
+        _emax = jnp.max(jnp.abs(Ef), axis=1, keepdims=True)
+        _escale = jnp.maximum(_emax, 1e-20) / 127.0
+        _E_i8 = jnp.clip(jnp.round(Ef / _escale), -127, 127).astype(jnp.int8)
+        _ecol = _escale[:, 0]
+
+        def _q8_logits(hidden):  # (B, 1, D) -> (B, 1, V) f32
+            xf = hidden.astype(jnp.float32)
+            xmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            xscale = jnp.maximum(xmax, 1e-20) / 127.0
+            x_i8 = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+            raw = jax.lax.dot_general(
+                x_i8, _E_i8, dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return raw.astype(jnp.float32) * xscale * _ecol
+
     aligned_prompt, prompt_positions, prompt_valid = _left_align_prompts(
         prompt_ids, pad_token_id
     )
@@ -145,7 +171,7 @@ def generate(
         )
         key_mask = buf != pad_token_id
         step_positions = (prompt_valid + (s.cur - Lp))[:, None]
-        step_logits, mutated = decode_model.apply(
+        step_out, mutated = decode_model.apply(
             {"params": params, "cache": s.cache},
             write_tok[:, None],
             encoder_output,
@@ -155,7 +181,9 @@ def generate(
             mutable=["cache"],
             positions=step_positions,
             encoder_pad_mask=encoder_pad_mask,
+            return_hidden=q8_head,
         )
+        step_logits = _q8_logits(step_out) if q8_head else step_out
         return State(
             buffer=buf,
             cache=mutated["cache"],

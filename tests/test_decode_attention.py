@@ -214,6 +214,7 @@ def test_cross_attention_int8_cache_generate_parity():
     for kv_dtype in ("bf16", "int8"):
         model = Cruller(
             vit_cfg, bart_cfg, max_cache_len=24, kv_cache_dtype=kv_dtype,
+            lm_head_dtype=kv_dtype,
         )
         params = model.init(
             jax.random.PRNGKey(0),
