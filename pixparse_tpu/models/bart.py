@@ -300,6 +300,7 @@ class CachedCrossAttention(nn.Module):
                 v_scale = self.variable(
                     "cache", "cached_enc_value_scale", jnp.ones, (B, Hp, Lk_pad), jnp.float32
                 )
+            k_full = v_full = None
             if mode == "prefill":
                 pad = ((0, 0), (0, Lk_pad - Lk), (0, 0))
                 k_full = _dense(
@@ -354,7 +355,13 @@ class CachedCrossAttention(nn.Module):
             q = qf.reshape(B, L, H, Dh)
             # XLA fallback/prefill attention sees only the true Lk keys
             # (slice-copy: runs once per generate call, not per step)
-            if use_q8:
+            if k_full is not None:
+                # prefill: attend over the EXACT just-computed projections —
+                # the prompt positions (and so the first generated token's
+                # logits) never pay the int8 cache's quantization noise
+                k = k_full.reshape(B, Lk, H, Dh)
+                v = v_full.reshape(B, Lk, H, Dh)
+            elif use_q8:
                 kr = cached_k.value[:, :Lk].astype(jnp.float32).reshape(B, Lk, H, Dh)
                 vr = cached_v.value[:, :Lk].astype(jnp.float32).reshape(B, Lk, H, Dh)
                 ksr = k_scale.value[:, :H, :Lk].transpose(0, 2, 1)[..., None]

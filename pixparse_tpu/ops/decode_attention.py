@@ -31,6 +31,34 @@ NEG_INF = -1e30
 LANES = 128
 
 
+def _masked_softmax_rows(s, mask_row, Lk, Lk_pad):
+    """(H, Lk_pad) scores + (1, Lk_pad) validity -> normalized probs with
+    fully-masked rows emitting zeros (shared by the bf16 and int8 kernels
+    so their masking/dead-row semantics cannot drift)."""
+    valid = mask_row > 0
+    if Lk < Lk_pad:  # static tail padding
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, Lk_pad), 1)
+        valid = valid & (col < Lk)
+    s = jnp.where(valid, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    # fully-masked rows would softmax over uniform NEG_INF — emit zeros
+    dead = m <= NEG_INF * 0.5
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    return jnp.where(dead, 0.0, p / jnp.where(l == 0.0, 1.0, l))
+
+
+def quantize_int8_rows(x, axis):
+    """Symmetric absmax int8 quantization along ``axis``: returns
+    (x_i8, scales) with all-zero rows mapping to scale 1 (payload zeros).
+    The single quantization idiom shared by the caches, the in-kernel
+    query/probability rows and the generate() tied-head table."""
+    am = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    scales = jnp.where(am > 0, am, 127.0) / 127.0
+    x_i8 = jnp.clip(jnp.round(x / scales), -127, 127).astype(jnp.int8)
+    return x_i8, scales
+
+
 def _decode_attn_kernel(
     q_ref,      # (1, 1, HD) block per sample
     k_ref,      # (1, Lk_pad, HD) block per sample
@@ -57,19 +85,7 @@ def _decode_attn_kernel(
             )  # (1, Lk_pad)
         )
     s = jnp.concatenate(rows, axis=0) * scale   # (H, Lk_pad) f32
-
-    valid = mask_ref[0] > 0                     # (1, Lk_pad)
-    if Lk < Lk_pad:  # static tail padding
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, Lk_pad), 1)
-        valid = valid & (col < Lk)
-    s = jnp.where(valid, s, NEG_INF)
-
-    m = jnp.max(s, axis=1, keepdims=True)       # (H, 1)
-    # fully-masked rows would softmax over uniform NEG_INF — emit zeros
-    dead = m <= NEG_INF * 0.5
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    p = jnp.where(dead, 0.0, p / jnp.where(l == 0.0, 1.0, l))
+    p = _masked_softmax_rows(s, mask_ref[0], Lk, Lk_pad)
     pb = p.astype(v_ref.dtype)                  # (H, Lk_pad)
 
     v = v_ref[0]  # (Lk_pad, HD)
@@ -145,9 +161,7 @@ def _decode_attn_q8_kernel(
     rows = []
     for h in range(H):
         qh = q[:, h * D:(h + 1) * D].astype(jnp.float32)  # (1, D)
-        qmax = jnp.max(jnp.abs(qh), axis=1, keepdims=True)
-        qscale = jnp.maximum(qmax, 1e-20) / 127.0         # (1, 1)
-        q_i8 = jnp.clip(jnp.round(qh / qscale), -127, 127).astype(jnp.int8)
+        q_i8, qscale = quantize_int8_rows(qh, axis=1)     # (1, D), (1, 1)
         kh = k[:, h * D:(h + 1) * D]                      # (Lk_pad, D) int8
         raw = jax.lax.dot_general(
             q_i8, kh,
@@ -158,24 +172,11 @@ def _decode_attn_q8_kernel(
     # fold per-(head, position) key scales + the softmax scale into the
     # (H, Lk) score tile — one elementwise pass over H*Lk, not Lk*HD
     s = jnp.concatenate(rows, axis=0) * (ks_ref[0, :H] * scale)
-
-    valid = mask_ref[0] > 0
-    if Lk < Lk_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, Lk_pad), 1)
-        valid = valid & (col < Lk)
-    s = jnp.where(valid, s, NEG_INF)
-
-    m = jnp.max(s, axis=1, keepdims=True)
-    dead = m <= NEG_INF * 0.5
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    p = jnp.where(dead, 0.0, p / jnp.where(l == 0.0, 1.0, l))
+    p = _masked_softmax_rows(s, mask_ref[0], Lk, Lk_pad)
     # value scales fold into the probability rows, which are then themselves
     # int8-quantized per head so the PV reduction also runs int8 on the MXU
     pv = p * vs_ref[0, :H]                                # (H, Lk_pad) f32
-    pmax = jnp.max(jnp.abs(pv), axis=1, keepdims=True)
-    pscale = jnp.maximum(pmax, 1e-20) / 127.0             # (H, 1)
-    pv_i8 = jnp.clip(jnp.round(pv / pscale), -127, 127).astype(jnp.int8)
+    pv_i8, pscale = quantize_int8_rows(pv, axis=1)        # (H, Lk_pad), (H, 1)
 
     v = v_ref[0]  # (Lk_pad, HD) int8
     outs = []
@@ -201,33 +202,19 @@ def quantize_kv_rows(x: jax.Array, num_heads: int):
     B, L, HD = x.shape
     D = HD // num_heads
     xf = x.astype(jnp.float32).reshape(B, L, num_heads, D)
-    absmax = jnp.max(jnp.abs(xf), axis=-1)                # (B, L, H)
-    scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    x_i8 = jnp.clip(
-        jnp.round(xf / scales[..., None]), -127, 127
-    ).astype(jnp.int8).reshape(B, L, HD)
+    x_i8, scales = quantize_int8_rows(xf, axis=-1)
+    x_i8 = x_i8.reshape(B, L, HD)
     Hp = -(-num_heads // 8) * 8
     scales_t = jnp.pad(
-        scales.transpose(0, 2, 1), ((0, 0), (0, Hp - num_heads), (0, 0)),
+        scales[..., 0].transpose(0, 2, 1), ((0, 0), (0, Hp - num_heads), (0, 0)),
         constant_values=1.0,
     )  # (B, Hp, L)
     return x_i8, scales_t
 
 
-def decode_attention_q8(
-    q: jax.Array,        # (B, 1, HD) single-position queries, heads flat
-    k_i8: jax.Array,     # (B, Lk, HD) int8 key cache
-    v_i8: jax.Array,     # (B, Lk, HD) int8 value cache
-    k_scale: jax.Array,  # (B, Hp, Lk) f32 per-(head, position) key scales
-    v_scale: jax.Array,  # (B, Hp, Lk) f32 value scales
-    mask: jax.Array,     # (B, Lk) True/nonzero = attend
-    num_heads: int,
-    interpret: bool = False,
-) -> jax.Array:
-    """Single-token decode attention over int8-quantized flat KV caches
-    (see ``quantize_kv_rows``). Single-device only: under a >1-device mesh
-    callers keep the bf16 path (the per-head scale layout doesn't shard on
-    whole-head boundaries cleanly)."""
+def _decode_attention_q8_local(
+    q, k_i8, v_i8, k_scale, v_scale, mask, *, num_heads, interpret=False,
+):
     B, Lk, HD = k_i8.shape
     D = HD // num_heads
     scale = D ** -0.5
@@ -262,6 +249,53 @@ def decode_attention_q8(
         interpret=interpret,
     )(q, k_i8, v_i8, k_scale, v_scale, mask.astype(jnp.int32)[:, None, :])
     return out
+
+
+def decode_attention_q8(
+    q: jax.Array,        # (B, 1, HD) single-position queries, heads flat
+    k_i8: jax.Array,     # (B, Lk, HD) int8 key cache
+    v_i8: jax.Array,     # (B, Lk, HD) int8 value cache
+    k_scale: jax.Array,  # (B, Hp, Lk) f32 per-(head, position) key scales
+    v_scale: jax.Array,  # (B, Hp, Lk) f32 value scales
+    mask: jax.Array,     # (B, Lk) True/nonzero = attend
+    num_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token decode attention over int8-quantized flat KV caches
+    (see ``quantize_kv_rows``). Under a >1-device mesh the kernel dispatches
+    through shard_map over the batch axes (CLAUDE.md invariant: a bare
+    pallas_call under pjit is REPLICATED by the SPMD partitioner); the
+    per-(head, position) scale layout pads heads to a sublane multiple, so
+    it does NOT split on whole-head boundaries — a ``model`` axis > 1 is
+    rejected (use the bf16 caches for tensor-parallel decode)."""
+    from pixparse_tpu.ops.flash_attention import ambient_mesh
+
+    B = q.shape[0]
+    fn = functools.partial(
+        _decode_attention_q8_local, num_heads=num_heads, interpret=interpret
+    )
+    mesh = ambient_mesh()
+    if mesh is not None and {"data", "fsdp", "model"} <= set(mesh.axis_names):
+        from jax.sharding import PartitionSpec as P
+
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if sizes["model"] > 1:
+            raise ValueError(
+                "kv_cache_dtype='int8' does not support a model-parallel "
+                "mesh axis (the padded per-head scale rows don't shard on "
+                "whole-head boundaries); use bf16 caches"
+            )
+        n_batch = sizes["data"] * sizes["fsdp"]
+        if B % n_batch == 0:
+            bspec = P(("data", "fsdp"), None, None)
+            return jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(bspec, bspec, bspec, bspec, bspec,
+                          P(("data", "fsdp"), None)),
+                out_specs=bspec,
+                check_vma=False,
+            )(q, k_i8, v_i8, k_scale, v_scale, mask)
+    return fn(q, k_i8, v_i8, k_scale, v_scale, mask)
 
 
 def decode_attention(

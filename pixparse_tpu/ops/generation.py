@@ -94,18 +94,16 @@ def generate(
     # below with a native int8 MXU dot.
     q8_head = getattr(model, "lm_head_dtype", "bf16") == "int8"
     if q8_head:
+        from pixparse_tpu.ops.decode_attention import quantize_int8_rows
+
         E = params["text_decoder"]["embed_tokens"]["embedding"]
-        Ef = E.astype(jnp.float32)
-        _emax = jnp.max(jnp.abs(Ef), axis=1, keepdims=True)
-        _escale = jnp.maximum(_emax, 1e-20) / 127.0
-        _E_i8 = jnp.clip(jnp.round(Ef / _escale), -127, 127).astype(jnp.int8)
+        _E_i8, _escale = quantize_int8_rows(E.astype(jnp.float32), axis=1)
         _ecol = _escale[:, 0]
 
         def _q8_logits(hidden):  # (B, 1, D) -> (B, 1, V) f32
-            xf = hidden.astype(jnp.float32)
-            xmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-            xscale = jnp.maximum(xmax, 1e-20) / 127.0
-            x_i8 = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+            x_i8, xscale = quantize_int8_rows(
+                hidden.astype(jnp.float32), axis=-1
+            )
             raw = jax.lax.dot_general(
                 x_i8, _E_i8, dimension_numbers=(((2,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -298,6 +296,11 @@ def generate_beam(
     beams frozen by forcing pad, final ranking by score / length**penalty).
 
     ``num_beams=1`` reduces exactly to :func:`generate` (greedy).
+
+    Note: ``lm_head_dtype='int8'`` applies only to the greedy :func:`generate`
+    loop — beam search always uses the exact bf16 tied head (beam scores
+    compare log-probs across beams, where quantization noise would reorder
+    candidates; the int8 KV caches still apply through the decode step).
     """
     B, Lp = prompt_ids.shape
     K = num_beams

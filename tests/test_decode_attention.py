@@ -234,3 +234,37 @@ def test_cross_attention_int8_cache_generate_parity():
     assert outs["bf16"].shape == outs["int8"].shape
     agree = (outs["bf16"] == outs["int8"]).mean()
     assert agree >= 0.9, (agree, outs)
+
+
+def test_decode_attention_q8_shard_map_parity():
+    """int8 kernel under a >1-device mesh (batch sharded over (data, fsdp),
+    model=1) must match the single-shard kernel; model>1 is rejected."""
+    import pytest as _pytest
+
+    from pixparse_tpu.ops.decode_attention import (
+        decode_attention_q8, quantize_kv_rows,
+    )
+    from pixparse_tpu.parallel.mesh import create_mesh
+
+    B, Lk, H, D = 8, 128, 4, 64
+    q, k, v = _rand(B, Lk, H, D, seed=21)
+    mask = np.ones((B, Lk), bool)
+    mask[3, 60:] = False
+    mask = jnp.asarray(mask)
+    k_i8, ks = quantize_kv_rows(k, H)
+    v_i8, vs = quantize_kv_rows(v, H)
+    ref = decode_attention_q8(q, k_i8, v_i8, ks, vs, mask, num_heads=H,
+                              interpret=True)
+
+    mesh = create_mesh(data=2, fsdp=4, model=1)
+    with mesh:
+        out = decode_attention_q8(q, k_i8, v_i8, ks, vs, mask, num_heads=H,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    mesh2 = create_mesh(data=2, fsdp=2, model=2)
+    with mesh2:
+        with _pytest.raises(ValueError, match="model-parallel"):
+            decode_attention_q8(q, k_i8, v_i8, ks, vs, mask, num_heads=H,
+                                interpret=True)
