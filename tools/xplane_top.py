@@ -39,26 +39,58 @@ def find_xplane(path: str) -> str:
     return hits[-1]
 
 
-_CATEGORY_RULES = [
-    ("flash_attn", re.compile(r"flash|attn|attention", re.I)),
-    ("window_attn", re.compile(r"window", re.I)),
-    ("fused_ce", re.compile(r"cross_entropy|softmax_xent|ce_fwd|ce_bwd", re.I)),
-    ("decode_attn", re.compile(r"decode_attention|decode_attn", re.I)),
-    ("matmul/conv", re.compile(r"^(fusion\.)?(convolution|dot|conv)", re.I)),
-    ("copy/transpose", re.compile(r"copy|transpose|bitcast", re.I)),
-    ("allreduce/collective", re.compile(r"all-reduce|all-gather|collective", re.I)),
-    ("dynamic-update", re.compile(r"dynamic-update|dynamic_update", re.I)),
-    ("rng", re.compile(r"rng|threefry|philox", re.I)),
+# The event name is the full HLO snippet: "%var = shape opcode(operands...)".
+# Categorize by the OPCODE (the token right before the operand parens), not by
+# substring over the whole name — jax auto-names Pallas custom-calls after the
+# traced python function (e.g. %transpose_jvp___ = the fused-CE backward), so a
+# name-substring match files kernels under copy/transpose.
+# opcode = first "<space>token(" after a shape-closing '}' or ')' — tuple
+# shapes contain nested parens (tiling annotations like T(8,128)(2,1)) so a
+# balanced-paren match is impractical; layout text never has " token(" inside.
+_OPCODE_RX = re.compile(r"[})]\s+([a-z][\w-]*)\(")
+
+_KERNEL_RULES = [  # custom-call kernels, matched on the variable name
+    ("pallas:window_attn", re.compile(r"%attn", re.I)),
+    ("pallas:flash_attn", re.compile(r"flash", re.I)),
+    ("pallas:fused_ce", re.compile(r"ce_fwd|ce_bwd|cross_entropy|jvp|xent", re.I)),
+    ("pallas:decode_attn", re.compile(r"decode", re.I)),
 ]
+
+_OPCODE_CATS = {
+    "copy": "copy/transpose",
+    "transpose": "copy/transpose",
+    "bitcast": "copy/transpose",
+    "reshape": "copy/transpose",
+    "convolution": "matmul/conv",
+    "dot": "matmul/conv",
+    "all-reduce": "collective",
+    "all-gather": "collective",
+    "reduce-scatter": "collective",
+    "dynamic-update-slice": "dynamic-update",
+    "rng-bit-generator": "rng",
+}
 
 
 def categorize(name: str) -> str:
-    for cat, rx in _CATEGORY_RULES:
-        if rx.search(name):
-            return cat
-    if name.startswith("fusion"):
+    m = _OPCODE_RX.search(name)
+    opcode = m.group(1) if m else ""
+    if opcode == "custom-call":
+        for cat, rx in _KERNEL_RULES:
+            if rx.search(name.split("=")[0]):
+                return cat
+        return "custom-call(other)"
+    if opcode in _OPCODE_CATS:
+        return _OPCODE_CATS[opcode]
+    if opcode == "fusion" or name.startswith("%fusion"):
+        # a fusion's cost driver isn't recoverable from the name alone;
+        # split out ones whose ROOT is a conv/dot by the variable name hint
+        head = name.split("=")[0]
+        if re.search(r"conv|dot|matmul", head, re.I):
+            return "fusion(matmul/conv)"
+        if re.search(r"transpose|copy", head, re.I):
+            return "fusion(transpose-root)"
         return "fusion(elementwise/other)"
-    return "other"
+    return opcode or "other"
 
 
 def main() -> None:
