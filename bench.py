@@ -27,9 +27,17 @@ of ``reps`` timed repetitions:
    patches, varlen flash encoder, B=8 bf16 no-remat — the
    task_pix2struct_pretrain recipe).
 
-stdout contract: ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``
-for the primary metric; other measurements ride in ``"extra"`` (narrated on
-stderr).
+stdout contract: the LAST stdout line is a JSON object ``{"metric", "value",
+"unit", "vs_baseline", "extra"}``. A complete (cumulative) JSON line is
+re-printed after EVERY mode finishes, so a run killed mid-mode still leaves
+the fullest-so-far result as its final stdout line (round-3 driver capture
+died compiling mode 6/6 and lost all five measured modes — never again).
+Narration rides on stderr.
+
+Wall-clock budget: ``BENCH_BUDGET_S`` (default 1500 s). Once elapsed time
+crosses the budget, remaining modes are skipped and recorded in
+``extra.skipped_modes``. Mode order puts the flagship rows first:
+train -> large -> decode -> donut -> pix2struct -> pipeline.
 
 ``vs_baseline`` derivation (BASELINE.md: the reference publishes NO numbers
 and no A100 is available here, so the denominator is DERIVED, not measured):
@@ -310,8 +318,16 @@ def bench_train_pix2struct(
 
 def bench_train_pipeline(
     model_name, batch_size, steps, warmup, dtype_flag, num_workers=8,
-    pipe_source=False,
+    reps=3,
 ):
+    """Loader-fed train throughput for BOTH source kinds (direct-file and
+    ``pipe:`` subprocess streaming — the reference streams ``pipe:aws s3 cp``
+    shard sets, /root/reference/README.md:21).
+
+    Honest-variance protocol (round-3 verdict): shards are generated ONCE and
+    shared by both variants, one task/train-step compile serves both, and
+    each variant's rate is the median of ``reps`` timed windows of ``steps``
+    steps, with the per-rep spread reported as a variance band."""
     from pixparse_tpu.data import create_loader
     from pixparse_tpu.data.config import DatasetCfg
     from pixparse_tpu.framework.config import OptimizationCfg
@@ -322,18 +338,18 @@ def bench_train_pipeline(
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     n_pages = min(96, batch_size * 4)
     n_shards = 4  # loader parallelism is shard-granular (worker per stream)
+    results = {}
     with tempfile.TemporaryDirectory(dir=tmp_root) as td:
-        # multi-shard interleave; pipe mode additionally covers the
-        # subprocess-streaming source path (reference: pipe:aws s3 cp ...)
+        # multi-shard interleave, generated once for both source variants
         for si in range(n_shards):
             shard = os.path.join(td, f"bench-{si:05d}.tar")
             _note(f"bench[train/pipeline]: generating shard {si} ({n_pages // n_shards} pages)...")
             _make_shard(shard, n_pages // n_shards, seed=si)
         brace = "bench-{00000..%05d}.tar" % (n_shards - 1)
-        if pipe_source:
-            source = "pipe:cat " + os.path.join(td, brace)
-        else:
-            source = os.path.join(td, brace)
+        sources = {
+            "direct": os.path.join(td, brace),
+            "pipe": "pipe:cat " + os.path.join(td, brace),
+        }
 
         env = MeshEnv.initialize()
         task_cfg = TaskCrullerPretrainCfg(
@@ -351,38 +367,52 @@ def bench_train_pipeline(
         # production TPU path: uint8 host->device + in-step fused normalize
         task_cfg.device_preprocess = True
         task = TaskCrullerPretrain(task_cfg, env, None)
-        total = batch_size * (steps + warmup)
-        loader = create_loader(
-            DatasetCfg(
-                source=source, num_samples=total, batch_size=batch_size,
-                split="train", num_workers=num_workers,
-            ),
-            is_train=True,
-            image_preprocess=task.prepare_image,
-            anno_preprocess=task.anno_preprocess_train,
-        )
-        task.train_setup(num_batches_per_interval=loader.num_batches)
-        task.train_interval_start()
+        n_chips = env.num_devices
+        total = batch_size * (warmup + steps * reps)
+        setup_done = False
+        for kind, source in sources.items():
+            loader = create_loader(
+                DatasetCfg(
+                    source=source, num_samples=total, batch_size=batch_size,
+                    split="train", num_workers=num_workers,
+                ),
+                is_train=True,
+                image_preprocess=task.prepare_image,
+                anno_preprocess=task.anno_preprocess_train,
+            )
+            if not setup_done:  # one compile serves both variants
+                task.train_setup(num_batches_per_interval=loader.num_batches)
+                setup_done = True
+            task.train_interval_start()
 
-        it = iter(loader.loader)
-        _note("bench[train/pipeline]: warmup/compile...")
-        for _ in range(warmup):
-            out = task.train_step(next(it))
-        _read_scalar(out["loss"])
+            it = iter(loader.loader)
+            _note(f"bench[train/pipeline|{kind}]: warmup...")
+            for _ in range(warmup):
+                out = task.train_step(next(it))
+            _read_scalar(out["loss"])
 
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = task.train_step(next(it))
-        _read_scalar(out["loss"])
-        elapsed = time.perf_counter() - t0
-
-    n_chips = env.num_devices
-    per_chip = batch_size * steps / elapsed / n_chips
-    _note(
-        f"bench[train/pipeline{'|pipe' if pipe_source else ''}]: "
-        f"{per_chip:.1f} samples/s/chip (loader-fed, {num_workers} workers)"
-    )
-    return {"samples_per_sec_per_chip": round(per_chip, 3), "n_chips": n_chips}
+            rates = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                for _ in range(steps):
+                    out = task.train_step(next(it))
+                _read_scalar(out["loss"])
+                rates.append(
+                    batch_size * steps / (time.perf_counter() - t0) / n_chips
+                )
+            per_chip = statistics.median(rates)
+            band = (max(rates) - min(rates)) / per_chip if per_chip else 0.0
+            _note(
+                f"bench[train/pipeline|{kind}]: {per_chip:.1f} samples/s/chip "
+                f"(median of {reps}, spread {band:.1%}, {num_workers} workers)"
+            )
+            results[kind] = {
+                "samples_per_sec_per_chip": round(per_chip, 3),
+                "rep_rates": [round(r, 2) for r in rates],
+                "spread_frac": round(band, 4),
+                "n_chips": n_chips,
+            }
+    return results
 
 
 # --------------------------------------------------------------------------
@@ -424,13 +454,39 @@ def bench_eval_decode(
         jnp.zeros((1, *vit_cfg.img_size, vit_cfg.in_chans)),
         jnp.zeros((1, 4), jnp.int32),
     )
+    # production import path: round-trip the initialized params through a
+    # real `.pt` checkpoint (save -> load -> cruller_params_from_torch) so
+    # the decode rows measure exactly the layouts the eval CLI feeds from a
+    # reference checkpoint — a `.pt`-import layout regression now shows up
+    # where the perf is measured.
+    raw_params = nn.unbox(variables["params"])
+    params_source = "pt_import"
+    try:
+        from pixparse_tpu.models.torch_interop import (
+            cruller_params_from_torch,
+            cruller_params_to_torch,
+            load_torch_checkpoint,
+            save_torch_checkpoint,
+        )
+
+        with tempfile.TemporaryDirectory() as td:
+            pt_path = os.path.join(td, "bench_ckpt.pt")
+            save_torch_checkpoint(
+                pt_path, cruller_params_to_torch(raw_params, vit_cfg, bart_cfg)
+            )
+            raw_params = cruller_params_from_torch(
+                load_torch_checkpoint(pt_path), vit_cfg, bart_cfg
+            )
+    except Exception as e:  # pragma: no cover - keep the row measurable
+        params_source = f"init (pt_import failed: {e!r:.120})"
+        _note(f"bench[{label}]: pt import round-trip failed, using init: {e!r}")
     replicated = NamedSharding(mesh, P())
     # eval holds no fp32 master copy: params ride in the compute dtype
     # (exactly the values the per-step cast would produce; half the weight
     # HBM traffic) — mirrors BaseCrullerEvalTask.setup
     params = jax.tree_util.tree_map(
-        lambda p: jax.device_put(p.astype(dtype), replicated),
-        nn.unbox(variables["params"]),
+        lambda p: jax.device_put(jnp.asarray(p).astype(dtype), replicated),
+        raw_params,
     )
 
     rng = np.random.RandomState(0)
@@ -477,6 +533,7 @@ def bench_eval_decode(
         "new_tokens_per_sec_per_chip": round(tok_s, 1),
         "decode_len": new_tokens,
         "n_chips": n_chips,
+        "params_source": params_source,
     }
 
 
@@ -519,52 +576,59 @@ def main():
         # large runs 2x8 accum, donut runs B=donut_bs*2=8
         large_bs, donut_bs = 16, 4
 
-    modes = (sys.argv[1].split(",") if len(sys.argv) > 1
-             else (["train", "pipeline", "decode", "large", "donut", "pix2struct"]
-                   if on_accelerator else ["train", "pipeline", "decode"]))
+    # flagship rows first so a budget-killed run still records them
+    default_modes = (["train", "large", "decode", "donut", "pix2struct", "pipeline"]
+                     if on_accelerator else ["train", "decode", "pipeline"])
+    modes = sys.argv[1].split(",") if len(sys.argv) > 1 else default_modes
+
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
     extra = {}
     train_res = None
-    if "train" in modes:
+
+    def emit():
+        """Print the full cumulative JSON line (the stdout contract: the LAST
+        stdout line is always the fullest parseable result so far)."""
+        primary = train_res or {"samples_per_sec_per_chip": 0.0}
+        # derived reference denominator (see module docstring / BASELINE.md)
+        vs_baseline = None
+        if train_res and train_res.get("flops_per_sample"):
+            derived_ref = (
+                A100_PEAK_BF16 * ASSUMED_REF_MFU / train_res["flops_per_sample"]
+            )
+            vs_baseline = round(
+                primary["samples_per_sec_per_chip"] / derived_ref, 3
+            )
+            extra["baseline_derivation"] = {
+                "derived_ref_samples_per_sec_per_chip": round(derived_ref, 1),
+                "a100_peak_bf16_flops": A100_PEAK_BF16,
+                "assumed_ref_mfu": ASSUMED_REF_MFU,
+                "flops_per_sample": round(train_res["flops_per_sample"]),
+                "note": (
+                    "reference publishes no numbers and no A100 is available; "
+                    "denominator = A100 bf16 peak x assumed reference MFU / "
+                    "flops-per-sample (same accounting as our MFU)"
+                ),
+            }
+        print(json.dumps({
+            "metric": "cruller_base pretrain samples/sec/chip",
+            "value": primary["samples_per_sec_per_chip"],
+            "unit": "samples/sec/chip",
+            "vs_baseline": vs_baseline,
+            "extra": extra,
+        }), flush=True)
+
+    def run_train():
+        nonlocal train_res
         train_res = bench_train_synthetic(
             model_name, batch_size, text_len, steps, warmup, dtype, attn_impl,
             reps=reps,
         )
         extra["train_step_ms"] = train_res["step_ms"]
         extra["train_mfu"] = train_res["mfu"]
-    if "pipeline" in modes:
-        pipe = bench_train_pipeline(model_name, batch_size, steps, warmup, dtype_flag)
-        extra["pipeline_fed_samples_per_sec_per_chip"] = pipe["samples_per_sec_per_chip"]
-        if train_res:
-            extra["pipeline_vs_synthetic"] = round(
-                pipe["samples_per_sec_per_chip"] / train_res["samples_per_sec_per_chip"], 3
-            )
-        piped = bench_train_pipeline(
-            model_name, batch_size, steps, warmup, dtype_flag, pipe_source=True
-        )
-        extra["pipeline_pipe_source_samples_per_sec_per_chip"] = (
-            piped["samples_per_sec_per_chip"]
-        )
-    if "decode" in modes:
-        dec = bench_eval_decode(
-            model_name, decode_bs, decode_len, decode_steps, dtype,
-            reps=decode_reps,
-        )
-        extra["eval_decode_pages_per_sec_per_chip"] = dec["pages_per_sec_per_chip"]
-        extra["eval_decode_new_tokens_per_sec_per_chip"] = dec["new_tokens_per_sec_per_chip"]
-        if on_accelerator:
-            # opt-in int8 cross-KV cache (kv_cache_dtype='int8'): halves the
-            # decode loop's dominant HBM traffic; bf16 stays the parity
-            # default above (greedy tokens can differ at quantization noise)
-            dec8 = bench_eval_decode(
-                model_name, decode_bs, decode_len, decode_steps, dtype,
-                reps=decode_reps, label="eval/decode_int8kv",
-                kv_cache_dtype="int8", lm_head_dtype="int8",
-            )
-            extra["eval_decode_int8kv_pages_per_sec_per_chip"] = (
-                dec8["pages_per_sec_per_chip"]
-            )
-    if "large" in modes:
+
+    def run_large():
         # the reference's documented pretrain recipe: cruller_large b=8 bf16
         # (README.md:19-41). Fastest measured batch-8 form: remat='gelu'
         # (checkpoint only gelu+fc2) over 2 accumulated micro-batches of 4 —
@@ -594,87 +658,125 @@ def main():
                 large4["samples_per_sec_per_chip"]
             )
             extra["cruller_large_b4_mfu"] = large4["mfu"]
-    if "donut" in modes:
+
+    def run_decode():
+        dec = bench_eval_decode(
+            model_name, decode_bs, decode_len, decode_steps, dtype,
+            reps=decode_reps,
+        )
+        extra["eval_decode_pages_per_sec_per_chip"] = dec["pages_per_sec_per_chip"]
+        extra["eval_decode_new_tokens_per_sec_per_chip"] = dec["new_tokens_per_sec_per_chip"]
+        extra["eval_decode_params_source"] = dec["params_source"]
+        if on_accelerator:
+            # opt-in int8 cross-KV cache (kv_cache_dtype='int8'): halves the
+            # decode loop's dominant HBM traffic; bf16 stays the parity
+            # default above (greedy tokens can differ at quantization noise)
+            dec8 = bench_eval_decode(
+                model_name, decode_bs, decode_len, decode_steps, dtype,
+                reps=decode_reps, label="eval/decode_int8kv",
+                kv_cache_dtype="int8", lm_head_dtype="int8",
+            )
+            extra["eval_decode_int8kv_pages_per_sec_per_chip"] = (
+                dec8["pages_per_sec_per_chip"]
+            )
+
+    def run_donut():
         # first-party Donut (Swin window 10 + pre-LN mBART) at the reference
         # eval scale 1280x960 (task_donut_eval_ocr.py:44-47)
         donut_name = "donut_base" if on_accelerator else "cruller_swin_test"
         donut_size = (1280, 960) if on_accelerator else None
-        try:
-            # measured best train recipe: B=4 remat='gelu' + fused window
-            # kernel 18.3 samples/s (xla window attn: 13.8; 'mlp' 13.4).
-            # flash is safe here: B<=4 full-model validated on chip — B=8
-            # faults (see docs/PERF.md "Fused Swin window attention")
-            donut = bench_train_synthetic(
-                donut_name, donut_bs * 2, 511, max(steps // 2, 3), warmup,
-                dtype, attn_impl, remat="gelu", reps=reps,
-                label="train/donut_base", image_size=donut_size,
-            )
-            extra["donut_base_samples_per_sec_per_chip"] = (
-                donut["samples_per_sec_per_chip"]
-            )
-            extra["donut_base_step_ms"] = donut["step_ms"]
-            # encoder attn_impl='xla': the fused window kernel faults in the
-            # FULL donut encode at B=8 1280x960 (B<=4 and every standalone
-            # stage shape pass — composition-dependent Mosaic fault, see
-            # docs/PERF.md). The Pallas decode-attention kernel is gated on
-            # platform, not attn_impl, so the 128-step decode loop keeps it.
-            ddec = bench_eval_decode(
-                donut_name, 16 if on_accelerator else 8,
-                decode_len, max(decode_steps // 2, 2), dtype,
-                reps=decode_reps, label="eval/donut_decode",
-                image_size=donut_size,
-                attn_impl="xla" if on_accelerator else None,
-            )
-            extra["donut_base_decode_pages_per_sec_per_chip"] = (
-                ddec["pages_per_sec_per_chip"]
-            )
-        except Exception as e:  # pragma: no cover - keep the primary JSON
-            _note(f"bench[donut]: FAILED: {e!r}")
-            extra["donut_base_error"] = repr(e)[:200]
-    if "pix2struct" in modes:
+        # measured best train recipe: B=4 remat='gelu' + fused window
+        # kernel 18.3 samples/s (xla window attn: 13.8; 'mlp' 13.4).
+        # flash is safe here: B<=4 full-model validated on chip — B=8
+        # faults (see docs/PERF.md "Fused Swin window attention")
+        donut = bench_train_synthetic(
+            donut_name, donut_bs * 2, 511, max(steps // 2, 3), warmup,
+            dtype, attn_impl, remat="gelu", reps=reps,
+            label="train/donut_base", image_size=donut_size,
+        )
+        extra["donut_base_samples_per_sec_per_chip"] = (
+            donut["samples_per_sec_per_chip"]
+        )
+        extra["donut_base_step_ms"] = donut["step_ms"]
+        # encoder attn_impl='xla': the fused window kernel faults in the
+        # FULL donut encode at B=8 1280x960 (B<=4 and every standalone
+        # stage shape pass — composition-dependent Mosaic fault, see
+        # docs/PERF.md). The Pallas decode-attention kernel is gated on
+        # platform, not attn_impl, so the 128-step decode loop keeps it.
+        ddec = bench_eval_decode(
+            donut_name, 16 if on_accelerator else 8,
+            decode_len, max(decode_steps // 2, 2), dtype,
+            reps=decode_reps, label="eval/donut_decode",
+            image_size=donut_size,
+            attn_impl="xla" if on_accelerator else None,
+        )
+        extra["donut_base_decode_pages_per_sec_per_chip"] = (
+            ddec["pages_per_sec_per_chip"]
+        )
+
+    def run_pix2struct():
         # pix2struct_base pretrain: 2048 variable-resolution patches through
         # the varlen flash encoder (task_pix2struct_pretrain recipe, B=8)
         p2s_name = "pix2struct_base" if on_accelerator else "pix2struct_test"
-        try:
-            p2s = bench_train_pix2struct(
-                p2s_name, 8, text_len,
-                max(steps // 2, 3), warmup, dtype, attn_impl, reps=reps,
-            )
-            extra["pix2struct_base_samples_per_sec_per_chip"] = (
-                p2s["samples_per_sec_per_chip"]
-            )
-            extra["pix2struct_base_step_ms"] = p2s["step_ms"]
-            extra["pix2struct_base_mfu"] = p2s["mfu"]
-        except Exception as e:  # pragma: no cover - keep the primary JSON
-            _note(f"bench[pix2struct]: FAILED: {e!r}")
-            extra["pix2struct_base_error"] = repr(e)[:200]
-
-    primary = train_res or {"samples_per_sec_per_chip": 0.0}
-    # derived reference denominator (see module docstring / BASELINE.md)
-    vs_baseline = None
-    if train_res and train_res.get("flops_per_sample"):
-        derived_ref = (
-            A100_PEAK_BF16 * ASSUMED_REF_MFU / train_res["flops_per_sample"]
+        p2s = bench_train_pix2struct(
+            p2s_name, 8, text_len,
+            max(steps // 2, 3), warmup, dtype, attn_impl, reps=reps,
         )
-        vs_baseline = round(primary["samples_per_sec_per_chip"] / derived_ref, 3)
-        extra["baseline_derivation"] = {
-            "derived_ref_samples_per_sec_per_chip": round(derived_ref, 1),
-            "a100_peak_bf16_flops": A100_PEAK_BF16,
-            "assumed_ref_mfu": ASSUMED_REF_MFU,
-            "flops_per_sample": round(train_res["flops_per_sample"]),
-            "note": (
-                "reference publishes no numbers and no A100 is available; "
-                "denominator = A100 bf16 peak x assumed reference MFU / "
-                "flops-per-sample (same accounting as our MFU)"
-            ),
-        }
-    print(json.dumps({
-        "metric": "cruller_base pretrain samples/sec/chip",
-        "value": primary["samples_per_sec_per_chip"],
-        "unit": "samples/sec/chip",
-        "vs_baseline": vs_baseline,
-        "extra": extra,
-    }))
+        extra["pix2struct_base_samples_per_sec_per_chip"] = (
+            p2s["samples_per_sec_per_chip"]
+        )
+        extra["pix2struct_base_step_ms"] = p2s["step_ms"]
+        extra["pix2struct_base_mfu"] = p2s["mfu"]
+
+    def run_pipeline():
+        pipe = bench_train_pipeline(
+            model_name, batch_size, steps, warmup, dtype_flag,
+            reps=max(reps, 3) if on_accelerator else 1,
+        )
+        extra["pipeline_fed_samples_per_sec_per_chip"] = (
+            pipe["direct"]["samples_per_sec_per_chip"]
+        )
+        extra["pipeline_fed_rep_rates"] = pipe["direct"]["rep_rates"]
+        extra["pipeline_fed_spread_frac"] = pipe["direct"]["spread_frac"]
+        if train_res:
+            extra["pipeline_vs_synthetic"] = round(
+                pipe["direct"]["samples_per_sec_per_chip"]
+                / train_res["samples_per_sec_per_chip"], 3
+            )
+        extra["pipeline_pipe_source_samples_per_sec_per_chip"] = (
+            pipe["pipe"]["samples_per_sec_per_chip"]
+        )
+        extra["pipeline_pipe_source_rep_rates"] = pipe["pipe"]["rep_rates"]
+
+    runners = {
+        "train": run_train, "large": run_large, "decode": run_decode,
+        "donut": run_donut, "pix2struct": run_pix2struct,
+        "pipeline": run_pipeline,
+    }
+    for i, mode in enumerate(modes):
+        elapsed = time.monotonic() - t_start
+        if i > 0 and elapsed > budget_s:
+            skipped = modes[i:]
+            _note(
+                f"bench: wall-clock budget exceeded ({elapsed:.0f}s > "
+                f"{budget_s:.0f}s) — skipping {skipped}"
+            )
+            extra["skipped_modes"] = skipped
+            extra["budget_s"] = budget_s
+            break
+        if mode not in runners:
+            _note(f"bench: unknown mode {mode!r}, skipping")
+            continue
+        try:
+            runners[mode]()
+        except Exception as e:  # pragma: no cover - keep the cumulative JSON
+            _note(f"bench[{mode}]: FAILED: {e!r}")
+            extra[f"{mode}_error"] = repr(e)[:200]
+        extra["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        emit()
+    # final (possibly duplicate) line: guarantees at least one JSON line and
+    # that a budget break's skipped_modes lands in the last line
+    emit()
 
 
 if __name__ == "__main__":
