@@ -106,11 +106,13 @@ class _Proj(nn.Module):
 
 
 def _ln(name, eps, dtype):
-    return nn.LayerNorm(
-        epsilon=eps, dtype=dtype, name=name,
-        scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-        bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
-    )
+    # FusedLayerNorm: Pallas one-pass kernel on TPU (XLA lowers LN as
+    # separate stat/normalize passes — measured 71 ms/step on the
+    # cruller_large profile), fp32-stats XLA math on CPU. Param names/shapes
+    # (scale, bias) and ("embed",) logical axes identical to nn.LayerNorm.
+    from pixparse_tpu.ops.layer_norm import FusedLayerNorm
+
+    return FusedLayerNorm(epsilon=eps, dtype=dtype, name=name)
 
 
 class CachedSelfAttention(nn.Module):

@@ -148,10 +148,10 @@ class Pix2StructEncoder(nn.Module):
                 block_cfg, dtype=self.dtype, attn_impl=self.attn_impl,
                 mlp_remat=mlp_remat, name=f"blocks_{i}"
             )(x, deterministic, None, kv_lens)
-        x = nn.LayerNorm(
+        from pixparse_tpu.ops.layer_norm import FusedLayerNorm
+
+        x = FusedLayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name="norm",
-            scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
         )(x)
         if mask is not None:
             # zero out pad tokens so downstream cross-attention key padding

@@ -207,10 +207,11 @@ class SwinBlock(nn.Module):
         window = min(c.window_size, H, W)
         # timm: no shifting when one window covers the feature map
         shift = self.shift if window < min(H, W) else 0
-        ln = lambda name: nn.LayerNorm(
+        from pixparse_tpu.ops.layer_norm import FusedLayerNorm
+
+        # Pallas LN on TPU, fp32-stats XLA elsewhere (models/bart.py::_ln)
+        ln = lambda name: FusedLayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name=name,
-            scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-            bias_init=_zeros(("embed",)),
         )
 
         shortcut = x
@@ -269,10 +270,10 @@ class PatchMerging(nn.Module):
             ],
             axis=-1,
         )
-        x = nn.LayerNorm(
+        from pixparse_tpu.ops.layer_norm import FusedLayerNorm
+
+        x = FusedLayerNorm(
             epsilon=self.cfg.ln_eps, dtype=self.dtype, name="norm",
-            scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-            bias_init=_zeros(("embed",)),
         )(x)
         return nn.Dense(
             2 * self.dim, use_bias=False, dtype=self.dtype,
@@ -304,10 +305,10 @@ class Swin(nn.Module):
             kernel_init=_init(("patch", "embed")), bias_init=_zeros(("embed",)),
             name="patch_embed",
         )(x.astype(self.dtype))
-        x = nn.LayerNorm(
+        from pixparse_tpu.ops.layer_norm import FusedLayerNorm
+
+        x = FusedLayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name="patch_norm",
-            scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-            bias_init=_zeros(("embed",)),
         )(x)
 
         block_cls = SwinBlock
@@ -335,10 +336,8 @@ class Swin(nn.Module):
                 dim *= 2
 
         if c.final_norm:
-            x = nn.LayerNorm(
+            x = FusedLayerNorm(
                 epsilon=c.ln_eps, dtype=self.dtype, name="norm",
-                scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-                bias_init=_zeros(("embed",)),
             )(x)
         Bh, Hh, Wh, Ch = x.shape
         return x.reshape(Bh, Hh * Wh, Ch)

@@ -191,11 +191,13 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True, pad_bias=None,
                  kv_lens=None):
+        from pixparse_tpu.ops.layer_norm import FusedLayerNorm
+
         c = self.cfg
-        ln = lambda name: nn.LayerNorm(
+        # Pallas LN on TPU, fp32-stats XLA elsewhere; nn.LayerNorm-compatible
+        # param names + ("embed",) logical axes (see models/bart.py::_ln)
+        ln = lambda name: FusedLayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name=name,
-            scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
         )
         x = x + ViTAttention(c, dtype=self.dtype, attn_impl=self.attn_impl, name="attn")(
             ln("norm1")(x), deterministic, pad_bias, kv_lens
@@ -268,11 +270,11 @@ class ViT(nn.Module):
         )
         x = x + pos.astype(self.dtype)
 
+        from pixparse_tpu.ops.layer_norm import FusedLayerNorm
+
         if c.pre_norm:
-            x = nn.LayerNorm(
+            x = FusedLayerNorm(
                 epsilon=c.ln_eps, dtype=self.dtype, name="norm_pre",
-                scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-                bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
             )(x)
 
         x = nn.with_logical_constraint(x, ("batch", "image_length", None))
@@ -288,10 +290,8 @@ class ViT(nn.Module):
                 c, dtype=self.dtype, attn_impl=self.attn_impl,
                 mlp_remat=mlp_remat, name=f"blocks_{i}",
             )(x, deterministic)
-        x = nn.LayerNorm(
+        x = FusedLayerNorm(
             epsilon=c.ln_eps, dtype=self.dtype, name="norm",
-            scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
-            bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
         )(x)
         return x
 

@@ -102,8 +102,22 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, db_ref, *, eps):
 
 
 def _block_rows(R: int, D: int) -> int:
-    cap = 512 if D <= 1024 else 256
+    # backward holds x/dy tiles plus several (block_rows, D) fp32 temporaries
+    # in VMEM; shrink the block as D grows so wide models stay under the
+    # (raised) scoped-VMEM limit — see _compiler_params
+    cap = 512 if D <= 1024 else (256 if D <= 4096 else 128)
     return min(cap, max(_SUBLANES, -(-R // _SUBLANES) * _SUBLANES))
+
+
+def _compiler_params(*semantics):
+    from jax.experimental.pallas import tpu as pltpu
+
+    # raise the default 16 MB scoped-vmem limit: the backward's fp32
+    # temporaries at (256, 4096) tiles exceed it with input double-buffering
+    return pltpu.CompilerParams(
+        dimension_semantics=tuple(semantics),
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
 
 
 def _pad_rows(a, R_p):
@@ -127,6 +141,7 @@ def _fwd_local(x2, w2, b2, *, eps):
             pl.BlockSpec((1, D), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((br, D), lambda i: (i, 0)),
+        compiler_params=_compiler_params("parallel"),
         interpret=_interpret(),
     )(_pad_rows(x2, R_p), w2, b2)
     return y[:R]
@@ -156,6 +171,8 @@ def _bwd_local(x2, w2, dy2, *, eps):
             pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((1, D), lambda i: (0, 0)),
         ),
+        # grid accumulates dscale/dbias across rows -> sequential semantics
+        compiler_params=_compiler_params("arbitrary"),
         interpret=_interpret(),
     )(_pad_rows(x2, R_p), w2, _pad_rows(dy2, R_p))
     return dx[:R], dw, db
@@ -174,6 +191,19 @@ def _ln_mesh(R: int):
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_batch = sizes["data"] * sizes["fsdp"]
     return mesh if R % n_batch == 0 else None
+
+
+def _mesh_unshardable(R: int) -> bool:
+    """True when a >1-device mesh is ambient but the sharded shard_map
+    dispatch is impossible (rows not divisible by data*fsdp, or foreign axis
+    names). The kernel must NOT run bare in that case: a bare pallas_call
+    under pjit is replicated by the SPMD partitioner (full-batch all-gather
+    on every chip — repo invariant); the caller falls back to XLA, which
+    shards fine under pjit."""
+    mesh = ambient_mesh()
+    if mesh is None or mesh.devices.size == 1:
+        return False
+    return _ln_mesh(R) is None
 
 
 def _fwd_dispatch(x2, w2, b2, eps):
@@ -238,9 +268,20 @@ def layer_norm(
     impl: "str | None" = None,  # None = pallas on TPU, xla elsewhere
 ) -> jax.Array:
     """LayerNorm over the last axis; fp32 stats, output in ``x.dtype``."""
+    import os
+
     D = x.shape[-1]
+    R = x.size // D if D else 0
     if impl is None:
-        impl = "xla" if (_interpret() or D % LANES or D > 8192) else "pallas"
+        # PIXPARSE_LN_IMPL=xla|pallas: A/B escape hatch for on-chip
+        # measurement and containment (same spirit as the attn_impl flag)
+        impl = os.environ.get("PIXPARSE_LN_IMPL")
+        if impl is None:
+            impl = "xla" if (_interpret() or D % LANES or D > 8192) else "pallas"
+        elif impl == "pallas" and (D % LANES or D > 8192):
+            impl = "xla"  # env opt-in still respects kernel eligibility
+    if impl == "pallas" and _mesh_unshardable(R):
+        impl = "xla"  # never a bare pallas_call under a >1-device pjit mesh
     if impl == "xla":
         return _ln_ref(x, scale, bias, eps)
     shape = x.shape
@@ -259,8 +300,15 @@ class FusedLayerNorm(nn.Module):
     epsilon: float = 1e-6
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    scale_init: Callable = nn.initializers.ones_init()
-    bias_init: Callable = nn.initializers.zeros_init()
+    # logical-axis-annotated by default: params must carry logical axis names
+    # for the mesh rules (parallel/mesh.py) — same annotation the model
+    # stacks apply to nn.LayerNorm (models/bart.py::_ln)
+    scale_init: Callable = nn.with_logical_partitioning(
+        nn.initializers.ones_init(), ("embed",)
+    )
+    bias_init: Callable = nn.with_logical_partitioning(
+        nn.initializers.zeros_init(), ("embed",)
+    )
 
     @nn.compact
     def __call__(self, x):
