@@ -22,6 +22,7 @@ first-party, TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional, Tuple
 
 import jax
@@ -30,6 +31,27 @@ import numpy as np
 from flax import linen as nn
 
 Dtype = jnp.dtype
+
+_logger = logging.getLogger(__name__)
+
+
+def _flash_window_unvalidated(batch: int, num_stages: int) -> bool:
+    """True when (batch, stages) is OUTSIDE the on-chip-validated envelope of
+    the fused Pallas window-attention kernel.
+
+    KNOWN FAULT (docs/PERF.md "Fused Swin window attention"): the kernel
+    kills the TPU worker in some compiled compositions — the full >=3-stage
+    donut encode at B=8 1280x960 faults, while B<=4 full train steps run
+    clean and correct. The bug is context-sensitive (ruled out: shapes, call
+    count, HBM pressure, program size) so containment is by composition:
+    full multi-stage encodes above B=4 fall back to the XLA window attention
+    rather than risking a worker crash. CPU/interpret is unaffected.
+    """
+    from pixparse_tpu.ops.flash_attention import _interpret
+
+    if _interpret():
+        return False
+    return batch > 4 and num_stages >= 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -296,6 +318,17 @@ class Swin(nn.Module):
     def __call__(self, images: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
         B, H, W, _ = images.shape
+        attn_impl = self.attn_impl
+        if attn_impl == "flash" and _flash_window_unvalidated(B, c.num_stages):
+            _logger.warning(
+                "Swin attn_impl='flash' requested for an UNVALIDATED "
+                "composition (batch=%d > 4, %d-stage encode on TPU) that is "
+                "known to crash the TPU worker — falling back to XLA window "
+                "attention for this encode. See docs/PERF.md 'Fused Swin "
+                "window attention'.",
+                B, c.num_stages,
+            )
+            attn_impl = "xla"
         p = c.patch_size
         gh, gw = H // p, W // p
         x = images.reshape(B, gh, p, gw, p, c.in_chans)
@@ -328,7 +361,7 @@ class Swin(nn.Module):
                 x = block_cls(
                     c, dim, c.num_heads[stage], res, shift,
                     dtype=self.dtype, mlp_remat=mlp_remat,
-                    attn_impl=self.attn_impl,
+                    attn_impl=attn_impl,
                     name=f"layers_{stage}_blocks_{block}",
                 )(x, deterministic)
             if stage < c.num_stages - 1:

@@ -205,3 +205,52 @@ def test_pix2struct_cruller_composition():
     dv = dec.init(jax.random.PRNGKey(1), ids, hidden)
     logits = dec.apply(dv, ids, hidden, mode="train")
     assert logits.shape == (1, 4, 64)
+
+
+def test_flash_window_guard_predicate(monkeypatch):
+    """Containment for the known context-sensitive Mosaic fault: the
+    unvalidated envelope is batch>4 AND >=3-stage encode on real TPU
+    (docs/PERF.md 'Fused Swin window attention'); CPU/interpret never
+    guards."""
+    from pixparse_tpu.models import swin as swin_mod
+    from pixparse_tpu.ops import flash_attention as fa
+
+    # on CPU (interpret) the kernel is safe: guard must stay off
+    assert not swin_mod._flash_window_unvalidated(8, 3)
+
+    monkeypatch.setattr(fa, "_interpret", lambda: False)  # pretend real TPU
+    assert swin_mod._flash_window_unvalidated(8, 3)   # the faulting case
+    assert swin_mod._flash_window_unvalidated(5, 4)
+    assert not swin_mod._flash_window_unvalidated(4, 3)  # validated on chip
+    assert not swin_mod._flash_window_unvalidated(8, 2)  # sub-3-stage
+
+
+def test_flash_window_guard_falls_back_to_xla(monkeypatch, caplog):
+    """attn_impl='flash' at an unvalidated composition must run the XLA
+    window path (same numerics as attn_impl='xla') and log a warning, not
+    dispatch the Pallas kernel."""
+    import logging
+
+    from pixparse_tpu.models import swin as swin_mod
+    from pixparse_tpu.ops import flash_attention as fa
+    from pixparse_tpu.ops import window_attention as wa
+
+    monkeypatch.setattr(fa, "_interpret", lambda: False)  # pretend real TPU
+
+    def _boom(*a, **k):  # the kernel must never be reached
+        raise AssertionError("Pallas window kernel dispatched under guard")
+
+    monkeypatch.setattr(wa, "window_attention", _boom)
+
+    cfg = SwinCfg(
+        img_size=(64, 48), patch_size=4, in_chans=1, embed_dim=16,
+        depths=(1, 1, 1), num_heads=(2, 2, 2), window_size=4,
+    )
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 64, 48, 1), jnp.float32)
+    flash = Swin(cfg, attn_impl="flash")
+    variables = flash.init(jax.random.PRNGKey(0), x)
+    with caplog.at_level(logging.WARNING, logger="pixparse_tpu.models.swin"):
+        out = flash.apply(variables, x)
+    assert any("UNVALIDATED" in r.message for r in caplog.records)
+    ref = Swin(cfg, attn_impl="xla").apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
