@@ -70,3 +70,10 @@ class TaskEvalCfg:
     # ship uint8 canvas images host->device (4x smaller transfer) and fuse
     # the normalize into the encoder program (ops/preprocess.py)
     device_preprocess: bool = False
+    # opt-in int8 decode mode (--task.kv-cache-dtype int8): quantized
+    # cross-KV cache + pre-quantized tied LM head — halves the decode loop's
+    # dominant HBM traffic (~+13% pages/s measured; see docs/PERF.md).
+    # Measured quality delta on the synthetic eval harness is recorded in
+    # docs/PERF.md "int8 decode quality"; bf16 stays the parity default.
+    kv_cache_dtype: str = "bf16"  # 'bf16' | 'int8'
+    lm_head_dtype: str = "bf16"  # 'bf16' | 'int8'

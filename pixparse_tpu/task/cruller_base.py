@@ -634,6 +634,9 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
         self.model = Cruller(
             self.vit_cfg, self.bart_cfg, dtype=self.compute_dtype,
             attn_impl=attn_impl,
+            # opt-in int8 decode mode (TaskEvalCfg / --task.kv-cache-dtype)
+            kv_cache_dtype=getattr(self.cfg, "kv_cache_dtype", "bf16"),
+            lm_head_dtype=getattr(self.cfg, "lm_head_dtype", "bf16"),
         )
         # eval holds no fp32 master weights: params ride in the compute
         # dtype (bit-identical to what the per-op cast would produce; halves
