@@ -14,6 +14,16 @@ against the chip's measured 368 GB/s elementwise stream rate. XLA lowers
 the lane-dimension reductions as separate passes over the (R, D) tile and
 round-trips fp32 stats through HBM.
 
+Measured outcome (v5e, 2026-08-19 — docs/PERF.md "Fused LayerNorm A/B"):
+**the kernel is a net LOSS inside full train steps** and is therefore
+opt-in (``PIXPARSE_LN_IMPL=pallas``), not the default. The profile's 71 ms
+counted *fusions containing* LN, but those fusions also carried the
+adjacent residual adds/casts XLA had folded in; carving LN out into a
+custom call forces those neighbours into separate passes and blocks remat
+compression of the saved activations. cruller_base train: 72.6 (pallas)
+vs 77.9 (xla) samples/s; cruller_large B=4: OOM (16.81G > 15.75G) vs fits.
+The kernel stays for targeted use and as a worked negative result.
+
 Design:
 
 - forward kernel: one pass — read the (block_rows, D) tile, compute fp32
@@ -273,12 +283,14 @@ def layer_norm(
     D = x.shape[-1]
     R = x.size // D if D else 0
     if impl is None:
-        # PIXPARSE_LN_IMPL=xla|pallas: A/B escape hatch for on-chip
-        # measurement and containment (same spirit as the attn_impl flag)
-        impl = os.environ.get("PIXPARSE_LN_IMPL")
-        if impl is None:
-            impl = "xla" if (_interpret() or D % LANES or D > 8192) else "pallas"
-        elif impl == "pallas" and (D % LANES or D > 8192):
+        # PIXPARSE_LN_IMPL=pallas: opt-in A/B escape hatch. Default is XLA:
+        # measured on v5e (2026-08-19, docs/PERF.md "Fused LayerNorm A/B"),
+        # the standalone kernel's custom-call boundary breaks XLA's fusion of
+        # LN with adjacent elementwise ops and its remat compression —
+        # cruller_base train dropped 77.9 -> 72.6 samples/s and cruller_large
+        # B=4 went from fitting (10.0/s) to OOM (16.81G > 15.75G HBM).
+        impl = os.environ.get("PIXPARSE_LN_IMPL", "xla")
+        if impl == "pallas" and (_interpret() or D % LANES or D > 8192):
             impl = "xla"  # env opt-in still respects kernel eligibility
     if impl == "pallas" and _mesh_unshardable(R):
         impl = "xla"  # never a bare pallas_call under a >1-device pjit mesh
@@ -291,8 +303,9 @@ def layer_norm(
 
 class FusedLayerNorm(nn.Module):
     """Drop-in for ``nn.LayerNorm`` (same param names/shapes: scale, bias)
-    that routes through the Pallas kernel on TPU and fp32-stats XLA math
-    elsewhere. Unlike flax's LayerNorm — which casts (x - mean) to the
+    that routes through :func:`layer_norm` — fp32-stats XLA math by default,
+    the Pallas kernel under ``PIXPARSE_LN_IMPL=pallas``.
+    Unlike flax's LayerNorm — which casts (x - mean) to the
     compute dtype before scaling — the whole normalization here runs in
     fp32 and only the final result is cast, so it is (slightly) *more*
     accurate at bf16."""
