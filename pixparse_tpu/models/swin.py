@@ -46,10 +46,18 @@ def _flash_window_unvalidated(batch: int, num_stages: int) -> bool:
     count, HBM pressure, program size) so containment is by composition:
     full multi-stage encodes above B=4 fall back to the XLA window attention
     rather than risking a worker crash. CPU/interpret is unaffected.
+
+    ``PIXPARSE_UNSAFE_FLASH_WINDOW=1`` disables the guard — ONLY for
+    fault-reproduction / root-cause work (docs/repro_window_fault.py);
+    it can and will crash the TPU worker on affected compositions.
     """
+    import os
+
     from pixparse_tpu.ops.flash_attention import _interpret
 
     if _interpret():
+        return False
+    if os.environ.get("PIXPARSE_UNSAFE_FLASH_WINDOW") == "1":
         return False
     return batch > 4 and num_stages >= 3
 
