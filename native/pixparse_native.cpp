@@ -309,6 +309,234 @@ int resize_bilinear_u8(const uint8_t* src, int sh, int sw, int c,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// General antialiased filter resize (PIL ImagingResample BIT-EXACT parity)
+// ---------------------------------------------------------------------------
+//
+// Exactly Pillow's two-pass fixed-point resample (Resample.c): horizontal
+// pass first, uint8 intermediate, 22-bit fixed-point coefficients with
+// round-half-away conversion, accumulator seeded with the rounding constant,
+// clip8 on every stored pixel. Filters: triangle (BILINEAR, support 1) and
+// Catmull-Rom a=-0.5 (BICUBIC, support 2), support scaled by the downscale
+// factor (antialias). Bit-exactness is the test contract
+// (tests/test_native_resize.py); the speed comes from integer accumulation
+// (assocative, so gcc vectorizes both passes) and a zero-padded regular
+// coefficient layout in the horizontal pass. Used by
+// data/transforms.py::resize_keep_ratio — the per-sample host hot op.
+
+static const int kPrecisionBits = 32 - 8 - 2;  // PIL PRECISION_BITS
+
+static inline uint8_t clip8i(int32_t v) {
+  if (v >= (1 << kPrecisionBits << 8)) return 255;
+  if (v <= 0) return 0;
+  return static_cast<uint8_t>(v >> kPrecisionBits);
+}
+
+static double filter_eval(int filter, double x) {
+  x = x < 0 ? -x : x;
+  if (filter == 1) {  // bicubic, Catmull-Rom a = -0.5 (PIL's constant)
+    const double a = -0.5;
+    if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+    if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+    return 0.0;
+  }
+  return x < 1.0 ? 1.0 - x : 0.0;  // triangle / bilinear
+}
+
+struct IntTaps {
+  std::vector<int> start;      // first source index per output (padded layout)
+  std::vector<int32_t> coef;   // dst_size x max_taps, zero-padded
+  int max_taps = 0;
+};
+
+static IntTaps build_int_taps(int src_size, int dst_size, int filter) {
+  IntTaps t;
+  const double scale = static_cast<double>(src_size) / dst_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = (filter == 1 ? 2.0 : 1.0) * filterscale;
+  std::vector<int> lo_v(dst_size), n_v(dst_size);
+  std::vector<double> w;  // concatenated normalized double weights
+  std::vector<size_t> off(dst_size);
+  for (int i = 0; i < dst_size; ++i) {
+    const double center = (i + 0.5) * scale;
+    int lo = static_cast<int>(center - support + 0.5);
+    int hi = static_cast<int>(center + support + 0.5);
+    lo = std::max(lo, 0);
+    hi = std::min(hi, src_size);
+    if (hi <= lo) { lo = std::min(std::max(0, lo), src_size - 1); hi = lo + 1; }
+    lo_v[i] = lo;
+    n_v[i] = hi - lo;
+    t.max_taps = std::max(t.max_taps, hi - lo);
+    off[i] = w.size();
+    double total = 0.0;
+    for (int j = lo; j < hi; ++j) {
+      const double cw = filter_eval(filter, (j - center + 0.5) / filterscale);
+      w.push_back(cw);
+      total += cw;
+    }
+    if (total != 0.0)
+      for (int j = 0; j < hi - lo; ++j) w[off[i] + j] /= total;
+  }
+  // regular zero-padded layout: every output reads exactly max_taps source
+  // pixels starting at t.start[i] (shifted left when the real window sits at
+  // the right edge so reads stay in bounds); pad taps carry coefficient 0
+  t.start.resize(dst_size);
+  t.coef.assign(static_cast<size_t>(dst_size) * t.max_taps, 0);
+  const bool padded = t.max_taps <= src_size;
+  for (int i = 0; i < dst_size; ++i) {
+    int s = lo_v[i];
+    int lead = 0;
+    if (padded && s + t.max_taps > src_size) {
+      lead = s - (src_size - t.max_taps);
+      s = src_size - t.max_taps;
+    }
+    t.start[i] = s;
+    for (int j = 0; j < n_v[i]; ++j) {
+      const double k = w[off[i] + j];
+      // PIL's round-half-away fixed-point conversion
+      t.coef[static_cast<size_t>(i) * t.max_taps + lead + j] =
+          static_cast<int32_t>(k < 0 ? k * (1 << kPrecisionBits) - 0.5
+                                     : k * (1 << kPrecisionBits) + 0.5);
+    }
+  }
+  if (!padded) {
+    // degenerate tiny-source case: windows overlap the whole source; store
+    // irregular counts via start/coef pairs of width max_taps clamped later
+    for (int i = 0; i < dst_size; ++i) t.start[i] = lo_v[i];
+    t.coef.assign(static_cast<size_t>(dst_size) * t.max_taps, 0);
+    for (int i = 0; i < dst_size; ++i)
+      for (int j = 0; j < n_v[i]; ++j) {
+        const double k = w[off[i] + j];
+        t.coef[static_cast<size_t>(i) * t.max_taps + j] =
+            static_cast<int32_t>(k < 0 ? k * (1 << kPrecisionBits) - 0.5
+                                       : k * (1 << kPrecisionBits) + 0.5);
+      }
+  }
+  return t;
+}
+
+// horizontal resample: (rows, sw, c) u8 -> (rows, dw, c) u8
+static void ipass_h(const uint8_t* src, int rows, int sw, int c,
+                    const IntTaps& t, int dw, uint8_t* out) {
+  const int mt = t.max_taps;
+  const bool regular = mt <= sw;
+  const int32_t seed = 1 << (kPrecisionBits - 1);
+  for (int y = 0; y < rows; ++y) {
+    const uint8_t* srow = src + static_cast<size_t>(y) * sw * c;
+    uint8_t* orow = out + static_cast<size_t>(y) * dw * c;
+    if (c == 1) {
+      for (int x = 0; x < dw; ++x) {
+        const int32_t* k = t.coef.data() + static_cast<size_t>(x) * mt;
+        const uint8_t* sp = srow + t.start[x];
+        const int n = regular ? mt : std::min(mt, sw - t.start[x]);
+        int32_t ss = seed;
+        for (int j = 0; j < n; ++j) ss += sp[j] * k[j];
+        orow[x] = clip8i(ss);
+      }
+    } else {
+      for (int x = 0; x < dw; ++x) {
+        const int32_t* k = t.coef.data() + static_cast<size_t>(x) * mt;
+        const uint8_t* sp = srow + static_cast<size_t>(t.start[x]) * c;
+        const int n = regular ? mt : std::min(mt, sw - t.start[x]);
+        for (int ch = 0; ch < c; ++ch) {
+          int32_t ss = seed;
+          for (int j = 0; j < n; ++j) ss += sp[j * c + ch] * k[j];
+          orow[x * c + ch] = clip8i(ss);
+        }
+      }
+    }
+  }
+}
+
+// vertical resample: (sh, row_elems) u8 -> (dh, row_elems) u8, accumulating
+// whole rows (contiguous: gcc vectorizes the int32 axpy)
+static void ipass_v(const uint8_t* src, int sh, int row_elems,
+                    const IntTaps& t, int dh, uint8_t* out,
+                    std::vector<int32_t>& acc) {
+  const int mt = t.max_taps;
+  acc.resize(row_elems);
+  for (int y = 0; y < dh; ++y) {
+    const int32_t* k = t.coef.data() + static_cast<size_t>(y) * mt;
+    const int s0 = t.start[y];
+    const int n = mt <= sh ? mt : std::min(mt, sh - s0);
+    const int32_t seed = 1 << (kPrecisionBits - 1);
+    for (int x = 0; x < row_elems; ++x) acc[x] = seed;
+    for (int j = 0; j < n; ++j) {
+      const uint8_t* srow = src + static_cast<size_t>(s0 + j) * row_elems;
+      const int32_t kj = k[j];
+      if (kj == 0) continue;  // zero padding
+      for (int x = 0; x < row_elems; ++x) acc[x] += kj * srow[x];
+    }
+    uint8_t* orow = out + static_cast<size_t>(y) * row_elems;
+    for (int x = 0; x < row_elems; ++x) orow[x] = clip8i(acc[x]);
+  }
+}
+
+// cache-blocked uint8 transpose: (h, w) -> (w, h)
+static void transpose_u8(const uint8_t* src, int h, int w, uint8_t* dst) {
+  const int B = 64;
+  for (int y0 = 0; y0 < h; y0 += B) {
+    const int y1 = std::min(h, y0 + B);
+    for (int x0 = 0; x0 < w; x0 += B) {
+      const int x1 = std::min(w, x0 + B);
+      for (int x = x0; x < x1; ++x) {
+        uint8_t* drow = dst + static_cast<size_t>(x) * h;
+        for (int y = y0; y < y1; ++y)
+          drow[y] = src[static_cast<size_t>(y) * w + x];
+      }
+    }
+  }
+}
+
+// filter: 0 = bilinear (triangle), 1 = bicubic (Catmull-Rom a=-0.5).
+// Bit-exact with PIL Image.resize for uint8 inputs: identical taps,
+// fixed-point coefficients, pass order (horizontal-first), uint8
+// intermediate, and clip8 rounding. For 1-channel images the horizontal
+// pass runs as transpose -> row-contiguous vertical pass -> transpose —
+// the same integer expression per output pixel (so still bit-exact) but
+// with an inner loop gcc vectorizes; a direct horizontal pass is scalar
+// dot products and measured ~6x slower at document sizes.
+int resize_filter_u8(const uint8_t* src, int sh, int sw, int c,
+                     uint8_t* dst, int dh, int dw, int filter) {
+  if (sh <= 0 || sw <= 0 || dh <= 0 || dw <= 0 || c <= 0) return -1;
+  if (filter != 0 && filter != 1) return -2;
+  IntTaps tx = build_int_taps(sw, dw, filter);
+  IntTaps ty = build_int_taps(sh, dh, filter);
+  std::vector<int32_t> acc;
+  if (dw == sw && dh == sh) {
+    memcpy(dst, src, static_cast<size_t>(sh) * sw * c);
+    return 0;
+  }
+  if (dw == sw) {  // PIL skips no-op passes; identical here but cheaper
+    ipass_v(src, sh, sw * c, ty, dh, dst, acc);
+    return 0;
+  }
+  if (c == 1) {
+    // horizontal pass via transpose (see note above)
+    std::vector<uint8_t> t1(static_cast<size_t>(sw) * sh);
+    transpose_u8(src, sh, sw, t1.data());               // (sw, sh)
+    std::vector<uint8_t> t2(static_cast<size_t>(dw) * sh);
+    ipass_v(t1.data(), sw, sh, tx, dw, t2.data(), acc);  // rows sw -> dw
+    if (dh == sh) {
+      transpose_u8(t2.data(), dw, sh, dst);              // (sh, dw)
+      return 0;
+    }
+    t1.resize(static_cast<size_t>(sh) * dw);
+    transpose_u8(t2.data(), dw, sh, t1.data());          // mid (sh, dw)
+    ipass_v(t1.data(), sh, dw, ty, dh, dst, acc);
+    return 0;
+  }
+  if (dh == sh) {
+    ipass_h(src, sh, sw, c, tx, dw, dst);
+    return 0;
+  }
+  // PIL order: horizontal first through a uint8 intermediate
+  std::vector<uint8_t> mid(static_cast<size_t>(sh) * dw * c);
+  ipass_h(src, sh, sw, c, tx, dw, mid.data());
+  ipass_v(mid.data(), sh, dw * c, ty, dh, dst, acc);
+  return 0;
+}
+
 // Fused: bilinear resize of src into the top-left of a (th, tw) canvas filled
 // with `fill`, then (x/255 - mean)/std into float32 out (th*tw*c).
 int resize_pad_normalize_f32(const uint8_t* src, int sh, int sw, int c,

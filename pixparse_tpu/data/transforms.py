@@ -58,6 +58,20 @@ def _interp_flag(interpolation: str):
     return table.get(interpolation, Image.BICUBIC)
 
 
+def _resize(img: np.ndarray, size: Tuple[int, int], interpolation: str) -> np.ndarray:
+    """Antialiased resize to (h, w). uint8 bilinear/bicubic takes the native
+    SIMD path (bit-exact with PIL — tests/test_native_resize.py; the resize is
+    the single largest host-CPU cost per document, see native/ header);
+    everything else falls back to PIL."""
+    from pixparse_tpu.native import resize_filter
+
+    out = resize_filter(img, size, interpolation)
+    if out is not None:
+        return out
+    pil = Image.fromarray(img)
+    return np.asarray(pil.resize((size[1], size[0]), _interp_flag(interpolation)))
+
+
 def crop_margin(img: np.ndarray) -> np.ndarray:
     """Crop to the bounding box of 'ink' (non-background) pixels.
 
@@ -112,9 +126,7 @@ def resize_keep_ratio(
     fit = max(ratio_h, ratio_w) * longest + min(ratio_h, ratio_w) * (1.0 - longest)
     nh = max(1, round(h * (scale / ratio) / fit))
     nw = max(1, round(w * (scale * ratio) / fit))
-    pil = Image.fromarray(img)
-    pil = pil.resize((nw, nh), _interp_flag(interpolation))
-    return np.asarray(pil)
+    return _resize(img, (nh, nw), interpolation)
 
 
 def random_pad(
@@ -510,11 +522,7 @@ class ImagePipeline:
         if x.ndim == 3 and x.shape[2] == 1:
             x = x[:, :, 0]  # native decoder emits (H, W, 1); pipeline works 2D
         if self.name == "legacy":
-            pil = Image.fromarray(x) if not isinstance(img, Image.Image) else img
-            pil = pil.resize(
-                (self.image_size[1], self.image_size[0]), _interp_flag(self.interpolation)
-            )
-            return self._finish(np.asarray(pil))
+            return self._finish(_resize(x, self.image_size, self.interpolation))
         return self._document_pipeline(x)
 
     def _finish(self, x: np.ndarray) -> np.ndarray:

@@ -48,6 +48,9 @@ def _configure(lib):
     lib.resize_bilinear_u8.argtypes = [i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                        i8p, ctypes.c_int, ctypes.c_int]
     lib.resize_bilinear_u8.restype = ctypes.c_int
+    lib.resize_filter_u8.argtypes = [i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                     i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.resize_filter_u8.restype = ctypes.c_int
     lib.resize_pad_normalize_f32.argtypes = [
         i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -80,6 +83,22 @@ def load_native():
             return None
         try:
             _lib = _configure(ctypes.CDLL(_SO_PATH))
+        except AttributeError:
+            # stale .so from an older source revision: rebuild once
+            if _build_attempted:
+                _logger.warning("native library stale and rebuild failed")
+                return None
+            _build_attempted = True
+            try:
+                subprocess.run(
+                    ["make", "-s", "-B"], cwd=_NATIVE_DIR, check=True,
+                    capture_output=True, timeout=120,
+                )
+                _lib = _configure(ctypes.CDLL(_SO_PATH))
+                _logger.info("rebuilt stale native library %s", _SO_PATH)
+            except Exception as e:
+                _logger.warning("failed to rebuild stale native library: %s", e)
+                return None
         except OSError as e:
             _logger.warning("failed to load native library: %s", e)
             return None
@@ -168,6 +187,36 @@ def resize_bilinear(img: np.ndarray, size: Tuple[int, int]) -> Optional[np.ndarr
                               _u8p(out), dh, dw):
         return None
     return out
+
+
+_FILTER_IDS = {"bilinear": 0, "bicubic": 1}
+
+
+def resize_filter(
+    img: np.ndarray, size: Tuple[int, int], interpolation: str = "bicubic"
+) -> Optional[np.ndarray]:
+    """PIL-parity antialiased resize (bilinear/bicubic): uint8 (H, W[, C]) ->
+    (h, w[, C]) uint8 matching PIL/torchvision ``resize`` within 1 grey level
+    (float intermediate instead of PIL's uint8 mid-pass rounding). 2D in ->
+    2D out. None -> caller falls back to PIL (other filters, no toolchain)."""
+    fid = _FILTER_IDS.get(interpolation)
+    if fid is None or img.dtype != np.uint8:
+        return None
+    lib = load_native()
+    if lib is None:
+        return None
+    squeeze = img.ndim == 2
+    img = np.ascontiguousarray(img, np.uint8)
+    if squeeze:
+        img = img[:, :, None]
+    if img.ndim != 3:
+        return None
+    dh, dw = size
+    out = np.empty((dh, dw, img.shape[2]), np.uint8)
+    if lib.resize_filter_u8(_u8p(img), img.shape[0], img.shape[1], img.shape[2],
+                            _u8p(out), dh, dw, fid):
+        return None
+    return out[:, :, 0] if squeeze else out
 
 
 def resize_pad_normalize(

@@ -70,6 +70,70 @@ def test_resize_matches_pil_bilinear():
         assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
 
 
+def test_resize_filter_bit_exact_with_pil():
+    """resize_filter's contract is BIT-exactness with PIL (same taps,
+    fixed-point coefficients, pass order, uint8 intermediate, clip8)."""
+    from pixparse_tpu.native import resize_filter
+
+    rng = np.random.RandomState(0)
+    cases = [
+        # (src h, w, c) -> (dst h, w), filter — down, up, mixed, single-axis
+        ((640, 500, 1), (576, 445), "bicubic"),
+        ((640, 500, 1), (576, 445), "bilinear"),
+        ((1650, 1275, 1), (576, 445), "bicubic"),
+        ((200, 300, 1), (576, 445), "bicubic"),
+        ((240, 100, 3), (60, 200), "bicubic"),
+        ((5, 7, 1), (3, 2), "bicubic"),
+        ((2, 2, 1), (9, 9), "bilinear"),
+        ((300, 200, 1), (300, 120), "bicubic"),
+        ((300, 200, 1), (120, 200), "bicubic"),
+    ]
+    flags = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR}
+    for (sh, sw, c), (dh, dw), interp in cases:
+        x = rng.randint(0, 256, (sh, sw, c), np.uint8)
+        x2 = x[:, :, 0] if c == 1 else x
+        ref = np.asarray(Image.fromarray(x2).resize((dw, dh), flags[interp]))
+        got = resize_filter(x2, (dh, dw), interp)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(
+            got, ref, err_msg=f"{(sh, sw, c)}->{(dh, dw)} {interp}"
+        )
+
+
+def test_resize_filter_document_structure_exact():
+    """Hard-edge document structure (line grids) is where intermediate
+    rounding/clamping deviations would show; still bit-exact."""
+    from pixparse_tpu.native import resize_filter
+
+    doc = np.full((660, 510), 255, np.uint8)
+    doc[::7, :] = 0
+    doc[:, ::11] = 30
+    ref = np.asarray(Image.fromarray(doc).resize((445, 576), Image.BICUBIC))
+    got = resize_filter(doc, (576, 445), "bicubic")
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_resize_filter_fallback_conditions():
+    from pixparse_tpu.native import resize_filter
+
+    f32 = np.zeros((8, 8), np.float32)
+    assert resize_filter(f32, (4, 4), "bicubic") is None  # dtype
+    u8 = np.zeros((8, 8), np.uint8)
+    assert resize_filter(u8, (4, 4), "lanczos") is None  # unsupported filter
+    out = resize_filter(u8, (4, 4), "bilinear")
+    assert out.shape == (4, 4)  # 2D in -> 2D out
+
+
+def test_transforms_resize_routes_through_native():
+    from pixparse_tpu.data.transforms import _resize
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 256, (300, 220), np.uint8)
+    got = _resize(x, (120, 90), "bicubic")
+    ref = np.asarray(Image.fromarray(x).resize((90, 120), Image.BICUBIC))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_fused_resize_pad_normalize():
     arr = _gray_image()
     out = resize_pad_normalize(arr[:, :, None], (128, 100), (120, 96), (0.5,), (0.5,))
