@@ -36,8 +36,9 @@ Narration rides on stderr.
 
 Wall-clock budget: ``BENCH_BUDGET_S`` (default 1500 s). Once elapsed time
 crosses the budget, remaining modes are skipped and recorded in
-``extra.skipped_modes``. Mode order puts the flagship rows first:
-train -> large -> decode -> donut -> pix2struct -> pipeline.
+``extra.skipped_modes``. Mode order puts the flagship rows first and the
+most expensive mode (donut: two program compiles) last:
+train -> large -> decode -> pipeline -> pix2struct -> donut.
 
 ``vs_baseline`` derivation (BASELINE.md: the reference publishes NO numbers
 and no A100 is available here, so the denominator is DERIVED, not measured):
@@ -600,8 +601,10 @@ def main():
         # large runs 2x8 accum, donut runs B=donut_bs*2=8
         large_bs, donut_bs = 16, 4
 
-    # flagship rows first so a budget-killed run still records them
-    default_modes = (["train", "large", "decode", "donut", "pix2struct", "pipeline"]
+    # flagship rows first so a budget-killed run still records them; donut
+    # last because it is the most expensive mode (two program compiles,
+    # ~650 s warm) and a mode only needs to START before the budget to run
+    default_modes = (["train", "large", "decode", "pipeline", "pix2struct", "donut"]
                      if on_accelerator else ["train", "decode", "pipeline"])
     modes = sys.argv[1].split(",") if len(sys.argv) > 1 else default_modes
 
