@@ -50,6 +50,12 @@ class InferCfg:
     max_new_tokens: int = 0  # 0 = task default generation length
     prompt: str = ""  # override the task prompt token/text
     seed: int = 42
+    # continuous batching (ops/serving.py): finished decode slots are
+    # refilled mid-stream instead of waiting for the batch's slowest page —
+    # higher throughput whenever page text lengths vary
+    continuous: bool = False
+    refill_size: int = 8  # pages encoded+spliced per refill (continuous)
+    chunk_steps: int = 16  # decode steps between refill checks (continuous)
 
 
 def _list_images(spec: str) -> List[str]:
@@ -111,6 +117,65 @@ def infer(infer_cfg: InferCfg, task_cfg) -> int:
 
     emit_json = infer_cfg.task_name != "cruller_eval_ocr"
     records = []
+
+    def _clean(text: str) -> str:
+        # strip only the structural frame — the leading prompt prefix and
+        # the trailing EOS — never interior occurrences of either string
+        # (generated text may legitimately contain them)
+        clean = text
+        if prompt and clean.startswith(prompt):
+            clean = clean[len(prompt):]
+        eos = task.tokenizer.eos_token or ""
+        if eos and clean.endswith(eos):
+            clean = clean[: -len(eos)]
+        return clean.strip()
+
+    def _record(f: str, text: str) -> dict:
+        rec = {"file": f, "text": _clean(text)}
+        if emit_json:
+            parsed = _maybe_json(rec["text"])
+            if parsed is not None:
+                rec["json"] = parsed
+        return rec
+
+    if infer_cfg.continuous:
+        pages = ((f, task.prepare_image(Image.open(f))) for f in files)
+        stream = task.generate_text_stream(
+            pages, prompt,
+            slots=bs,
+            max_new_tokens=infer_cfg.max_new_tokens or None,
+            refill_size=infer_cfg.refill_size,
+            chunk_steps=infer_cfg.chunk_steps,
+        )
+        by_file = {}
+        for i, (f, text) in enumerate(stream, 1):
+            by_file[f] = _record(f, text)
+            if i % bs == 0 or i == len(files):
+                _logger.info("%d/%d pages done", i, len(files))
+        records = [by_file[f] for f in files]  # input order in the JSONL
+    else:
+        records = _infer_batched(infer_cfg, task, files, prompt, bs, _record)
+
+    out = infer_cfg.output
+    lines = [json.dumps(r, ensure_ascii=False) for r in records]
+    if env.is_primary():
+        if out and out != "-":
+            os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+            with open(out, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            _logger.info("wrote %s (%d records)", out, len(records))
+        else:
+            for line in lines:
+                print(line)
+    task.end()
+    return 0
+
+
+def _infer_batched(infer_cfg, task, files, prompt, bs, _record):
+    import numpy as np
+    from PIL import Image
+
+    records = []
     for lo in range(0, len(files), bs):
         chunk = files[lo:lo + bs]
         n = len(chunk)
@@ -128,36 +193,9 @@ def infer(infer_cfg: InferCfg, task_cfg) -> int:
         )
         texts = task.generate_text(images, prompt_ids, max_length=max_len)[:n]
         for f, text in zip(chunk, texts):
-            # strip only the structural frame — the leading prompt prefix and
-            # the trailing EOS — never interior occurrences of either string
-            # (generated text may legitimately contain them)
-            clean = text
-            if prompt and clean.startswith(prompt):
-                clean = clean[len(prompt):]
-            eos = task.tokenizer.eos_token or ""
-            if eos and clean.endswith(eos):
-                clean = clean[: -len(eos)]
-            rec = {"file": f, "text": clean.strip()}
-            if emit_json:
-                parsed = _maybe_json(clean)
-                if parsed is not None:
-                    rec["json"] = parsed
-            records.append(rec)
+            records.append(_record(f, text))
         _logger.info("%d/%d pages done", min(lo + bs, len(files)), len(files))
-
-    out = infer_cfg.output
-    lines = [json.dumps(r, ensure_ascii=False) for r in records]
-    if env.is_primary():
-        if out and out != "-":
-            os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
-            with open(out, "w") as f:
-                f.write("\n".join(lines) + "\n")
-            _logger.info("wrote %s (%d records)", out, len(records))
-        else:
-            for line in lines:
-                print(line)
-    task.end()
-    return 0
+    return records
 
 
 def main(argv=None) -> int:

@@ -79,6 +79,7 @@ def generate(
     temperature: float = 5.0,
     rng: Optional[jax.Array] = None,
     encoder_pad_mask: Optional[jax.Array] = None,  # (B, Lk) True = real key
+    max_new_tokens: Optional[jax.Array] = None,  # (B,) per-row budget (>=1)
 ) -> GenerateResult:
     B, Lp = prompt_ids.shape
     assert Lp < max_length, "prompt longer than max_length"
@@ -163,6 +164,12 @@ def generate(
         rng, step_rng = jax.random.split(s.rng)
         next_tok = _select_next(s.logits, sample, temperature, step_rng).astype(jnp.int32)
         newly_finished = s.finished | (next_tok == eos_token_id)
+        if max_new_tokens is not None:
+            # rows share the column clock (left-aligned prompts), so the
+            # generated count at this step is cur - Lp + 1 for every row
+            newly_finished = newly_finished | (
+                (s.cur - Lp + 1) >= max_new_tokens
+            )
         write_tok = jnp.where(s.finished, pad_token_id, next_tok)
         buf = jax.lax.dynamic_update_slice(
             s.buffer, write_tok[:, None], (0, s.cur)

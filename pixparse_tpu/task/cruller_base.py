@@ -759,6 +759,45 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
         # never carries content; the reference's per-sample decode has none
         return [t.replace(pad, "") for t in texts]
 
+    def generate_text_stream(
+        self,
+        pages,  # iterable of (page_id, prepared image ndarray)
+        prompt: str,
+        *,
+        slots: int = 16,
+        max_length: Optional[int] = None,
+        max_new_tokens: Optional[int] = None,
+        refill_size: int = 8,
+        chunk_steps: int = 16,
+    ):
+        """Continuous-batching decode over a page stream: yields
+        ``(page_id, text)`` in completion order. Unlike :meth:`generate_text`,
+        a batch never waits for its slowest page — finished slots are
+        refilled mid-stream (ops/serving.py). Single-device jit (serving
+        targets one replica per chip; run one process per chip to scale)."""
+        from pixparse_tpu.ops.serving import ContinuousBatcher
+
+        prompt_row = self.prompt_ids(prompt, 1)[0]
+        batcher = ContinuousBatcher(
+            self.model,
+            self.params,
+            slots=slots,
+            max_length=max_length or self.max_generation_length,
+            prompt_ids=prompt_row,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id,
+            refill_size=refill_size,
+            chunk_steps=chunk_steps,
+        )
+        encode = lambda imgs: self.encode_images(np.asarray(imgs))
+        budget = (lambda pid: max_new_tokens) if max_new_tokens else None
+        pad_tok = self.tokenizer.pad_token
+        for res in batcher.run(pages, encode, max_new_tokens=budget):
+            text = self.tokenizer.decode(
+                res.tokens.tolist(), skip_special_tokens=False
+            )
+            yield res.page_id, text.replace(pad_tok, "")
+
     def prompt_ids(self, prompt: str, batch_size: int) -> np.ndarray:
         ids = self.tokenizer(prompt, add_special_tokens=False, return_tensors="np").input_ids
         return np.tile(ids.astype(np.int32), (batch_size, 1))

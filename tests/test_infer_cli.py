@@ -82,3 +82,29 @@ def test_maybe_json_parses_wellformed_markup():
     assert out == {"menu": {"nm": "latte", "cnt": "2"}}
     # tag-free text falls back to token2json's text_sequence wrapper
     assert _maybe_json("plain") == {"text_sequence": "plain"}
+
+
+def test_infer_cli_continuous_matches_batched(pages, tmp_path):
+    """--infer.continuous routes through ops/serving.py and must produce the
+    same per-file text as the batched path (greedy, same weights/seed)."""
+    out_b = str(tmp_path / "batched.jsonl")
+    out_c = str(tmp_path / "continuous.jsonl")
+    common = [
+        "--infer.task_name", "cruller_eval_ocr",
+        "--infer.images", pages,
+        "--infer.max_new_tokens", "8",
+        "--task.model_name", "cruller_test",
+        "--task.tokenizer.name", "pixparse_bytelevel",
+        "--task.dtype", "float32",
+    ]
+    assert infer_main(common + [
+        "--infer.output", out_b, "--infer.batch_size", "5",
+    ]) == 0
+    assert infer_main(common + [
+        "--infer.output", out_c, "--infer.batch_size", "2",
+        "--infer.continuous", "true",
+        "--infer.refill_size", "2", "--infer.chunk_steps", "3",
+    ]) == 0
+    batched = {r["file"]: r["text"] for r in map(json.loads, open(out_b))}
+    continuous = {r["file"]: r["text"] for r in map(json.loads, open(out_c))}
+    assert batched == continuous
