@@ -38,7 +38,7 @@ Wall-clock budget: ``BENCH_BUDGET_S`` (default 1500 s). Once elapsed time
 crosses the budget, remaining modes are skipped and recorded in
 ``extra.skipped_modes``. Mode order puts the flagship rows first and the
 most expensive mode (donut: two program compiles) last:
-train -> large -> decode -> pipeline -> pix2struct -> donut.
+train -> large -> decode -> pipeline -> pix2struct -> serve -> donut.
 
 ``vs_baseline`` derivation (BASELINE.md: the reference publishes NO numbers
 and no A100 is available here, so the denominator is DERIVED, not measured):
@@ -445,11 +445,11 @@ def bench_train_pipeline(
 #    params, Pallas decode-attention kernel)
 # --------------------------------------------------------------------------
 
-def bench_eval_decode(
-    model_name, batch_size, new_tokens, steps, dtype, reps=3,
-    label="eval/decode", image_size=None, attn_impl=None,
-    kv_cache_dtype="bf16", lm_head_dtype="bf16",
-):
+def _eval_setup(model_name, dtype, label, image_size=None, attn_impl=None,
+                kv_cache_dtype="bf16", lm_head_dtype="bf16"):
+    """Shared eval-bench scaffolding: model + `.pt`-round-tripped params
+    (the production import path — a layout regression in torch_interop now
+    shows up where the perf is measured) + the ambient mesh."""
     import flax.linen as nn
     import jax
     import jax.numpy as jnp
@@ -457,8 +457,7 @@ def bench_eval_decode(
 
     from pixparse_tpu.models.config import get_model_config
     from pixparse_tpu.models.cruller import Cruller, resolve_cruller_cfgs
-    from pixparse_tpu.ops.generation import generate
-    from pixparse_tpu.parallel.mesh import batch_sharding, create_mesh
+    from pixparse_tpu.parallel.mesh import create_mesh
 
     cfg = get_model_config(model_name)
     if image_size is not None:
@@ -471,7 +470,6 @@ def bench_eval_decode(
         kv_cache_dtype=kv_cache_dtype, lm_head_dtype=lm_head_dtype,
     )
     mesh = create_mesh()
-    n_chips = mesh.devices.size
 
     _note(f"bench[{label}]: init params...")
     variables = model.init(
@@ -479,11 +477,6 @@ def bench_eval_decode(
         jnp.zeros((1, *vit_cfg.img_size, vit_cfg.in_chans)),
         jnp.zeros((1, 4), jnp.int32),
     )
-    # production import path: round-trip the initialized params through a
-    # real `.pt` checkpoint (save -> load -> cruller_params_from_torch) so
-    # the decode rows measure exactly the layouts the eval CLI feeds from a
-    # reference checkpoint — a `.pt`-import layout regression now shows up
-    # where the perf is measured.
     raw_params = nn.unbox(variables["params"])
     params_source = "pt_import"
     try:
@@ -513,6 +506,25 @@ def bench_eval_decode(
         lambda p: jax.device_put(jnp.asarray(p).astype(dtype), replicated),
         raw_params,
     )
+    return model, params, mesh, vit_cfg, params_source
+
+
+def bench_eval_decode(
+    model_name, batch_size, new_tokens, steps, dtype, reps=3,
+    label="eval/decode", image_size=None, attn_impl=None,
+    kv_cache_dtype="bf16", lm_head_dtype="bf16",
+):
+    import jax
+    import jax.numpy as jnp
+
+    from pixparse_tpu.ops.generation import generate
+    from pixparse_tpu.parallel.mesh import batch_sharding
+
+    model, params, mesh, vit_cfg, params_source = _eval_setup(
+        model_name, dtype, label, image_size=image_size, attn_impl=attn_impl,
+        kv_cache_dtype=kv_cache_dtype, lm_head_dtype=lm_head_dtype,
+    )
+    n_chips = mesh.devices.size
 
     rng = np.random.RandomState(0)
     images = jax.device_put(
@@ -562,6 +574,108 @@ def bench_eval_decode(
     }
 
 
+# --------------------------------------------------------------------------
+# serving: continuous batching vs batch decode on a mixed-length workload
+# --------------------------------------------------------------------------
+
+def bench_serve_decode(
+    model_name, slots, max_new, n_pages, dtype,
+    label="eval/serve", seed=0, refill_size=16, chunk_steps=32,
+):
+    """Mixed-length OCR workload (page generation lengths drawn uniform
+    [max_new/4, max_new], simulating per-page EOS): batch decode runs every
+    batch to its SLOWEST page; continuous batching (ops/serving.py) refills
+    finished slots mid-stream. Both paths run the identical model, params
+    (`.pt` import), encode program and per-page budgets; both timings
+    include encode. Reported as pages/s/chip each + the ratio."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixparse_tpu.ops.generation import generate
+    from pixparse_tpu.ops.serving import ContinuousBatcher
+
+    model, params, mesh, vit_cfg, params_source = _eval_setup(
+        model_name, dtype, label
+    )
+    n_chips = mesh.devices.size
+    rng = np.random.RandomState(seed)
+    lengths = rng.randint(max_new // 4, max_new + 1, n_pages).astype(np.int32)
+    # one shared image: content doesn't affect timing (budgets drive the
+    # stopping, eos=-1 never fires), and it keeps host RAM flat
+    image = rng.rand(*vit_cfg.img_size, vit_cfg.in_chans).astype(np.float32)
+    images_b = jnp.asarray(np.broadcast_to(image, (slots, *image.shape)).copy())
+    max_length = 1 + max_new  # 1-token prompt
+
+    encode_jit = jax.jit(
+        lambda p, im: model.apply({"params": p}, im, method="encode")
+    )
+
+    def run_batched():
+        total = 0
+        for lo in range(0, n_pages, slots):
+            budget = np.zeros((slots,), np.int32)
+            chunk = lengths[lo:lo + slots]
+            budget[: len(chunk)] = chunk
+            budget[len(chunk):] = 1  # padded rows finish immediately
+            enc = encode_jit(params, images_b)
+            out = generate(
+                model, params, enc, jnp.full((slots, 1), 1, jnp.int32),
+                max_length=max_length, eos_token_id=-1, pad_token_id=0,
+                max_new_tokens=jnp.asarray(budget),
+            )
+            total += int(_read_scalar(out.lengths[0]))
+        return total
+
+    batcher = ContinuousBatcher(
+        model, params, slots=slots, max_length=max_length, prompt_ids=[1],
+        eos_token_id=-1, pad_token_id=0,
+        refill_size=refill_size, chunk_steps=chunk_steps,
+    )
+
+    def run_continuous(n):
+        pages = ((i, image) for i in range(n))
+        done = 0
+        for _ in batcher.run(
+            pages, lambda im: encode_jit(params, im),
+            max_new_tokens=lambda pid: int(lengths[pid % n_pages]),
+        ):
+            done += 1
+        return done
+
+    _note(f"bench[{label}]: warmup/compile both paths...")
+    run_batched()
+    # the warmup stream is long enough to trigger (and compile) compaction:
+    # the shared column grows ~1/decode-step, so it takes ~C steps
+    # = C * slots / mean_length pages to outgrow the capacity once
+    warm_pages = int(np.ceil(batcher.C * slots / max(1.0, lengths.mean()))) + slots
+    run_continuous(warm_pages)
+
+    t0 = time.perf_counter()
+    run_batched()
+    t_batch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_done = run_continuous(n_pages)
+    t_cont = time.perf_counter() - t0
+    assert n_done == n_pages
+
+    p_batch = n_pages / t_batch / n_chips
+    p_cont = n_pages / t_cont / n_chips
+    _note(
+        f"bench[{label}]: batch {p_batch:.2f} vs continuous {p_cont:.2f} "
+        f"pages/s/chip (x{p_cont / p_batch:.2f}, {n_pages} pages, "
+        f"lengths U[{max_new // 4},{max_new}], mean {lengths.mean():.0f})"
+    )
+    return {
+        "batched_pages_per_sec_per_chip": round(p_batch, 3),
+        "continuous_pages_per_sec_per_chip": round(p_cont, 3),
+        "speedup": round(p_cont / p_batch, 3),
+        "n_pages": n_pages,
+        "length_distribution": f"uniform[{max_new // 4},{max_new}]",
+        "params_source": params_source,
+        "n_chips": n_chips,
+    }
+
+
 def main():
     # honor an explicit CPU request even under the axon sitecustomize, which
     # pins JAX_PLATFORMS before user code runs (see .claude/skills/verify)
@@ -604,8 +718,10 @@ def main():
     # flagship rows first so a budget-killed run still records them; donut
     # last because it is the most expensive mode (two program compiles,
     # ~650 s warm) and a mode only needs to START before the budget to run
-    default_modes = (["train", "large", "decode", "pipeline", "pix2struct", "donut"]
-                     if on_accelerator else ["train", "decode", "pipeline"])
+    default_modes = (
+        ["train", "large", "decode", "pipeline", "pix2struct", "serve", "donut"]
+        if on_accelerator else ["train", "decode", "pipeline"]
+    )
     modes = sys.argv[1].split(",") if len(sys.argv) > 1 else default_modes
 
     t_start = time.monotonic()
@@ -780,10 +896,31 @@ def main():
         )
         extra["pipeline_pipe_source_rep_rates"] = pipe["pipe"]["rep_rates"]
 
+    def run_serve():
+        # continuous batching vs batch decode on a mixed-length workload
+        # (the serving story: ops/serving.py; lengths simulate per-page EOS)
+        srv = bench_serve_decode(
+            model_name,
+            decode_bs if on_accelerator else 4,
+            decode_len,
+            160 if on_accelerator else 12,
+            dtype,
+        )
+        extra["serve_batched_pages_per_sec_per_chip"] = (
+            srv["batched_pages_per_sec_per_chip"]
+        )
+        extra["serve_continuous_pages_per_sec_per_chip"] = (
+            srv["continuous_pages_per_sec_per_chip"]
+        )
+        extra["serve_speedup"] = srv["speedup"]
+        extra["serve_workload"] = (
+            f"{srv['n_pages']} pages, lengths {srv['length_distribution']}"
+        )
+
     runners = {
         "train": run_train, "large": run_large, "decode": run_decode,
         "donut": run_donut, "pix2struct": run_pix2struct,
-        "pipeline": run_pipeline,
+        "pipeline": run_pipeline, "serve": run_serve,
     }
     for i, mode in enumerate(modes):
         elapsed = time.monotonic() - t_start

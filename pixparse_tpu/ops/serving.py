@@ -122,10 +122,16 @@ class ContinuousBatcher:
         self.pad = int(pad_token_id)
         self.E = min(int(refill_size), self.B)
         self.K = int(chunk_steps)
-        slack = max_length if capacity_slack is None else int(capacity_slack)
-        # bart.py rounds the cache allocation itself to the 128-lane tile
-        # multiple; C only has to bound the shared column between compactions
-        self.C = self.max_length + max(slack, self.K + 8)
+        if capacity_slack is None:
+            # default: land C on the 128-column tile multiple bart.py will
+            # allocate anyway (no wasted kernel read width), with at least
+            # ~max_length/2 growth room between compactions
+            c = max(self.max_length + self.K + 8, (3 * self.max_length) // 2)
+            self.C = -(-c // 128) * 128
+        else:
+            # explicit slack is honored exactly (tests force compaction with
+            # tiny capacities; bart still tile-pads its own allocation)
+            self.C = self.max_length + max(int(capacity_slack), self.K + 8)
         pid = np.asarray(prompt_ids, np.int32).reshape(-1)
         self.Lp = int(pid.shape[0])
         assert self.Lp < max_length, "prompt longer than max_length"
