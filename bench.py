@@ -34,10 +34,15 @@ the fullest-so-far result as its final stdout line (round-3 driver capture
 died compiling mode 6/6 and lost all five measured modes — never again).
 Narration rides on stderr.
 
-Wall-clock budget: ``BENCH_BUDGET_S`` (default 1500 s). Once elapsed time
+Wall-clock budget: ``BENCH_BUDGET_S`` (default 2700 s). Once elapsed time
 crosses the budget, remaining modes are skipped and recorded in
-``extra.skipped_modes``. Mode order puts the flagship rows first and the
-most expensive mode (donut: two program compiles) last:
+``extra.skipped_modes``. The budget can be generous because the incremental
+stdout contract above already makes a hard kill lossless — its only job is
+to gracefully record what was skipped. Past 70% of the budget, modes skip
+their SECONDARY sub-rows (cruller_large B=4, int8 decode) so a cold driver
+run spends its remaining allowance on distinct modes first. Mode order puts
+the flagship rows first and the most expensive mode (donut: two program
+compiles) last:
 train -> large -> decode -> pipeline -> pix2struct -> serve -> donut.
 
 ``vs_baseline`` derivation (BASELINE.md: the reference publishes NO numbers
@@ -725,7 +730,17 @@ def main():
     modes = sys.argv[1].split(",") if len(sys.argv) > 1 else default_modes
 
     t_start = time.monotonic()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+
+    def subrow_budget_ok(name: str) -> bool:
+        """Secondary sub-rows (extra configs inside a mode) yield to unrun
+        modes once 70% of the budget is spent — a cold run records every
+        DISTINCT mode before re-measuring variants of one."""
+        if time.monotonic() - t_start <= 0.7 * budget_s:
+            return True
+        _note(f"bench: >70% budget spent — skipping secondary sub-row {name}")
+        extra.setdefault("skipped_subrows", []).append(name)
+        return False
 
     extra = {}
     train_res = None
@@ -788,7 +803,7 @@ def main():
         )
         extra["cruller_large_step_ms"] = large["step_ms"]
         extra["cruller_large_mfu"] = large["mfu"]
-        if on_accelerator:
+        if on_accelerator and subrow_budget_ok("cruller_large_b4"):
             # max-throughput point (the recipe row above holds the
             # reference's batch-8 semantics): B=4 unaccumulated measured
             # 10.0 samples/s vs 9.4 as 2x4 accum (post packed-head layout)
@@ -810,7 +825,7 @@ def main():
         extra["eval_decode_pages_per_sec_per_chip"] = dec["pages_per_sec_per_chip"]
         extra["eval_decode_new_tokens_per_sec_per_chip"] = dec["new_tokens_per_sec_per_chip"]
         extra["eval_decode_params_source"] = dec["params_source"]
-        if on_accelerator:
+        if on_accelerator and subrow_budget_ok("decode_int8kv"):
             # opt-in int8 cross-KV cache (kv_cache_dtype='int8'): halves the
             # decode loop's dominant HBM traffic; bf16 stays the parity
             # default above (greedy tokens can differ at quantization noise)
