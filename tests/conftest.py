@@ -70,6 +70,7 @@ _SLOW_TESTS = {
     "test_models.py::test_remat_modes_match_no_remat_grads",
     "test_generation_beam.py::test_beam_search_score_dominates_greedy",
     "test_pretrained.py::test_pretrained_flag_wires_into_task_train_setup",
+    "test_bench_contract.py::test_bench_last_stdout_line_is_full_record_and_budget_skips",
 }
 
 
