@@ -585,7 +585,7 @@ def bench_eval_decode(
 
 def bench_serve_decode(
     model_name, slots, max_new, n_pages, dtype,
-    label="eval/serve", seed=0, refill_size=16, chunk_steps=32,
+    label="eval/serve", seed=0, refill_size=16, chunk_steps=64,
 ):
     """Mixed-length OCR workload (page generation lengths drawn uniform
     [max_new/4, max_new], simulating per-page EOS): batch decode runs every
@@ -647,6 +647,22 @@ def bench_serve_decode(
             done += 1
         return done
 
+    # dispatch round-trip latency: the cost of EVERY extra host sync the
+    # continuous path pays vs batch decode's one-program loop. Through the
+    # axon remote-TPU transport this is tens of ms (vs ~0.1-0.5 ms on a
+    # local TPU runtime) and decides the A/B's sign — record it so the
+    # speedup number carries its environment (docs/PERF.md "Continuous
+    # batching vs dispatch latency").
+    idf = jax.jit(lambda x: x + 1)
+    z = idf(jnp.zeros((), jnp.int32))
+    trips = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        z = idf(z)
+        _ = int(jax.device_get(z))
+        trips.append(time.perf_counter() - t0)
+    dispatch_ms = sorted(trips)[len(trips) // 2] * 1000.0
+
     _note(f"bench[{label}]: warmup/compile both paths...")
     run_batched()
     # the warmup stream is long enough to trigger (and compile) compaction:
@@ -668,7 +684,8 @@ def bench_serve_decode(
     _note(
         f"bench[{label}]: batch {p_batch:.2f} vs continuous {p_cont:.2f} "
         f"pages/s/chip (x{p_cont / p_batch:.2f}, {n_pages} pages, "
-        f"lengths U[{max_new // 4},{max_new}], mean {lengths.mean():.0f})"
+        f"lengths U[{max_new // 4},{max_new}], mean {lengths.mean():.0f}, "
+        f"dispatch {dispatch_ms:.1f} ms)"
     )
     return {
         "batched_pages_per_sec_per_chip": round(p_batch, 3),
@@ -676,6 +693,7 @@ def bench_serve_decode(
         "speedup": round(p_cont / p_batch, 3),
         "n_pages": n_pages,
         "length_distribution": f"uniform[{max_new // 4},{max_new}]",
+        "dispatch_roundtrip_ms": round(dispatch_ms, 2),
         "params_source": params_source,
         "n_chips": n_chips,
     }
@@ -928,6 +946,7 @@ def main():
             srv["continuous_pages_per_sec_per_chip"]
         )
         extra["serve_speedup"] = srv["speedup"]
+        extra["serve_dispatch_roundtrip_ms"] = srv["dispatch_roundtrip_ms"]
         extra["serve_workload"] = (
             f"{srv['n_pages']} pages, lengths {srv['length_distribution']}"
         )

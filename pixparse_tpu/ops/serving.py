@@ -145,8 +145,7 @@ class ContinuousBatcher:
         self.decode_model = model.clone(max_cache_len=self.C)
         self._enc_shape = None  # (Lk, D, dtype), set by the first encode
 
-        self._jit_prefill = jax.jit(self._prefill, static_argnames=("n",))
-        self._jit_splice = jax.jit(self._splice)
+        self._jit_refill = jax.jit(self._refill, static_argnames=("n",))
         self._jit_chunk = jax.jit(self._chunk, donate_argnums=(1,))
         self._jit_compact = jax.jit(self._compact, donate_argnums=(0,))
 
@@ -233,6 +232,17 @@ class ContinuousBatcher:
             finished=jnp.where(rows, False, state.finished),
             logits=jnp.where(onehot, by_slot(new_logits, 0.0), state.logits),
             max_new=jnp.where(rows, by_slot(max_new, 0), state.max_new),
+        )
+
+    def _refill(self, params, enc, state: _State, slot_ids, max_new, col, n: int):
+        """Prefill ``n`` fresh pages AND splice them into ``slot_ids`` as ONE
+        jitted program. Dispatch count is the serving hot metric on remote-TPU
+        transports (every dispatch pays a host round trip measured in tens of
+        ms — docs/PERF.md "Continuous batching vs dispatch latency"), so the
+        two stages are fused rather than dispatched back-to-back."""
+        new_cache, new_logits, new_valid = self._prefill(params, enc, n)
+        return self._splice(
+            state, new_cache, new_logits, new_valid, slot_ids, max_new, col
         )
 
     def _chunk(self, params, state: _State, col):
@@ -365,11 +375,15 @@ class ContinuousBatcher:
         if not first:
             return
         enc = encode_batch(first, B)
-        new_cache, new_logits, new_valid = self._jit_prefill(self.params, enc, n=B)
-        V = new_logits.shape[1]
+        # abstract-trace the prefill once for the persistent-state shapes
+        # (cache tree at batch B, vocab size) without running anything
+        shapes = jax.eval_shape(lambda p, e: self._prefill(p, e, B), self.params, enc)
+        V = shapes[1].shape[1]
         state = _State(
             buffer=jnp.full((B, self.max_length), self.pad, jnp.int32),
-            cache=jax.tree_util.tree_map(jnp.zeros_like, new_cache),
+            cache=jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes[0]
+            ),
             cache_mask=jnp.zeros((B, self.C), bool),
             tok_count=jnp.zeros((B,), jnp.int32),
             prompt_len=jnp.full((B,), Lp, jnp.int32),
@@ -378,9 +392,9 @@ class ContinuousBatcher:
             max_new=jnp.zeros((B,), jnp.int32),
         )
         col = 0  # host mirror of the shared self-cache write column
-        state = self._jit_splice(
-            state, new_cache, new_logits, new_valid,
-            jnp.arange(B, dtype=jnp.int32), budgets(first, B), col,
+        state = self._jit_refill(
+            self.params, enc, state,
+            jnp.arange(B, dtype=jnp.int32), budgets(first, B), col, n=B,
         )
         col += Lp
         slot_pages = [pid for pid, _ in first] + [None] * (B - len(first))
@@ -393,13 +407,17 @@ class ContinuousBatcher:
                 col = self.max_length
             state = self._jit_chunk(self.params, state, col)
             col += self.K
-            finished = np.asarray(jax.device_get(state.finished))
+            # ONE host round trip per chunk: the finished mask plus the small
+            # token buffer/counts (the payload is KBs; the trip is the cost)
+            finished, buf, cnt = (
+                np.asarray(x) for x in jax.device_get(
+                    (state.finished, state.buffer, state.tok_count)
+                )
+            )
             done_slots = [
                 i for i in range(B) if finished[i] and not harvested[i]
             ]
             if done_slots:
-                buf = np.asarray(jax.device_get(state.buffer))
-                cnt = np.asarray(jax.device_get(state.tok_count))
                 for i in done_slots:
                     harvested[i] = True
                     if slot_pages[i] is not None:
@@ -419,16 +437,13 @@ class ContinuousBatcher:
                     break
                 slot_ids, free = free[:E], free[E:]
                 enc = encode_batch(batch_pages, E)
-                new_cache, new_logits, new_valid = self._jit_prefill(
-                    self.params, enc, n=E
-                )
                 if col + Lp + self.K + 1 > self.C:
                     state = self._jit_compact(state)
                     col = self.max_length
-                state = self._jit_splice(
-                    state, new_cache, new_logits, new_valid,
+                state = self._jit_refill(
+                    self.params, enc, state,
                     jnp.asarray(slot_ids, jnp.int32), budgets(batch_pages, E),
-                    col,
+                    col, n=E,
                 )
                 col += Lp
                 for k, (pid, _) in enumerate(batch_pages):
