@@ -51,11 +51,14 @@ class InferCfg:
     prompt: str = ""  # override the task prompt token/text
     seed: int = 42
     # continuous batching (ops/serving.py): finished decode slots are
-    # refilled mid-stream instead of waiting for the batch's slowest page —
-    # higher throughput whenever page text lengths vary
+    # refilled mid-stream on-device from a staged pool instead of waiting
+    # for the batch's slowest page — higher throughput whenever page text
+    # lengths vary (the refill decision runs inside one jitted program, so
+    # remote-TPU dispatch latency does not tax it)
     continuous: bool = False
-    refill_size: int = 8  # pages encoded+spliced per refill (continuous)
+    refill_size: int = 0  # encode batch for pool staging (0 = batch_size)
     chunk_steps: int = 16  # decode steps between refill checks (continuous)
+    pool_pages: int = 0  # pages staged per pool group (0 = 2*batch_size)
 
 
 def _list_images(spec: str) -> List[str]:
@@ -144,8 +147,9 @@ def infer(infer_cfg: InferCfg, task_cfg) -> int:
             pages, prompt,
             slots=bs,
             max_new_tokens=infer_cfg.max_new_tokens or None,
-            refill_size=infer_cfg.refill_size,
+            refill_size=infer_cfg.refill_size or bs,
             chunk_steps=infer_cfg.chunk_steps,
+            pool_pages=infer_cfg.pool_pages or None,
         )
         by_file = {}
         for i, (f, text) in enumerate(stream, 1):

@@ -11,8 +11,27 @@ batch max. The reference has no serving path at all (its eval decode is a
 per-sample full-prefix recompute, /root/reference/src/pixparse/utils/ocr_utils.py);
 this module is the TPU-first design for the deployment story.
 
-Everything on-device is static-shape (XLA: one compile per program):
+**The refill decision lives ON DEVICE.** The first design of this module
+orchestrated chunks from the host (decode K steps -> read back the finished
+mask -> maybe dispatch a refill) and lost its own A/B 6x: on a remote-TPU
+transport every blocking host<->device round trip costs tens of ms
+(measured 27 ms through the axon tunnel, docs/PERF.md "Continuous batching
+vs dispatch latency"), and the host paid one per chunk plus one per refill
+while batch decode pays ~one per batch. The rewrite stages a POOL of
+pre-encoded, pre-prefilled pages in HBM and folds harvest + refill into one
+jitted ``lax.while_loop`` program, so the host blocks roughly once per pool
+group (~``pool_pages`` pages) and the transport latency amortizes away:
 
+- **Pool staging** (host, all dispatches async): pages are encoded in
+  fixed-size batches, prefilled in ONE batched program (cross-K/V, the
+  shared prompt's self-K/V, first logits), and parked in HBM together with
+  per-page generation budgets.
+- **Serve program** (one jitted ``lax.while_loop``): each iteration runs
+  [compact-if-needed -> refill free slots from the pool -> K decode steps
+  -> harvest finished slots into a results ring]. All control flow is
+  ``lax.cond``/``fori_loop`` on static shapes; the host passes only traced
+  scalars (pool cursor, group base, ring floor), so the program compiles
+  once.
 - **Decode chunks**: ``lax.fori_loop`` of K single-token steps over the
   persistent state; per-slot token counts give per-row positions, a one-hot
   column write appends to each row's compact output buffer.
@@ -23,21 +42,27 @@ Everything on-device is static-shape (XLA: one compile per program):
   restarted at 0; an explicit per-slot ``cache_mask`` makes attention see
   only the slot's own K/V, and position embeddings come from explicit
   per-row positions, so cache-column order is irrelevant to the math.
-- **Refill**: a fixed-size (``refill_size``) prefill program computes the new
-  pages' cross-K/V + prompt self-K/V + first logits; per-row
-  ``dynamic_update_slice`` (unrolled over the static refill size, dynamic row
-  index) splices rows into the persistent caches — write-only, no full-cache
-  rewrite.
+- **Refill**: up to ``max_refill_per_chunk`` free slots per iteration take
+  the next pool pages; per-row ``dynamic_update_slice`` splices each page's
+  cross-K/V rows and prompt self-K/V block into the persistent caches
+  (write-only, no full-cache rewrite; entries beyond the taken count
+  duplicate the last taken entry's write — identical data to the same row,
+  deterministic).
+- **Harvest**: a finished slot's token buffer is scattered into a results
+  ring (size 2·(pool+slots)) keyed by the page's global sequence number;
+  a ``done_seq`` row tags the occupant. Ring rows are only overwritten once
+  the host confirms the previous occupant was read (the ``floor_seq``
+  operand) — a blocked harvest simply retries next iteration.
 - **Compaction**: the shared column grows ~1/step, so the self cache has
   ``capacity > max_length``; when the slack is exhausted, a one-hot matmul
   compresses every row's valid columns left (MXU-shaped, a few GFLOPs).
   Masked softmax entries are exact zeros and compress-left preserves key
   order, so compaction is bitwise-exact.
 
-The host reads back only the (B,) finished mask (and, when harvesting, the
-small int32 token buffer) between chunks; the shared column is mirrored on
-the host, so no extra device round-trips. Pages are encoded in fixed-size
-batches on demand through a caller-supplied ``encode_fn``.
+The host loop double-buffers pool groups: while the serve program runs on
+group N, group N+1's encode/prefill dispatches are already enqueued, so the
+device never idles on staging. The serve program exits early when its pool
+drains and a fresh one is waiting.
 
 Greedy parity with :func:`generate` is exact (tests/test_serving.py).
 """
@@ -67,9 +92,19 @@ class _State(NamedTuple):
     cache_mask: jax.Array  # (B, C) bool — this slot's own K/V columns
     tok_count: jax.Array   # (B,) int32 — valid tokens (prompt + generated)
     prompt_len: jax.Array  # (B,) int32 — valid prompt tokens per row
-    finished: jax.Array    # (B,) bool
+    finished: jax.Array    # (B,) bool — row hit eos/budget/capacity
+    harvested: jax.Array   # (B,) bool — row's result written to the ring
     logits: jax.Array      # (B, V) f32 — pending next-token distribution
     max_new: jax.Array     # (B,) int32 — per-slot generation budget
+    page_seq: jax.Array    # (B,) int32 — global sequence number of the page
+
+
+class _Results(NamedTuple):
+    """Host-readable results ring (R real rows + 1 scratch row)."""
+
+    tokens: jax.Array    # (R+1, max_length) int32
+    lengths: jax.Array   # (R+1,) int32
+    done_seq: jax.Array  # (R+1,) int32 — occupant's page_seq, -1 = empty
 
 
 def _is_self_kv(path) -> bool:
@@ -92,12 +127,20 @@ class ContinuousBatcher:
       prompt_ids: (Lp,) shared task prompt (every page gets the same prompt,
         as the OCR/eval tasks do).
       eos_token_id / pad_token_id: as in generate().
-      refill_size: pages encoded + spliced per refill program call (static;
-        refill waits until this many slots are free AND pages are pending).
-      chunk_steps: decode steps per jitted chunk between host checks.
+      refill_size: encode batch size for pool staging (static; ``encode_fn``
+        is called at exactly this batch).
+      chunk_steps: decode steps per refill/harvest check inside the serve
+        program. No host traffic is involved, so small values (8-16) are
+        cheap and cut finished-slot idling (a slot idles ~K/2 steps between
+        finishing and refill).
       capacity_slack: extra self-cache columns beyond max_length; compaction
         triggers when exhausted. More slack = rarer compaction but more
         decode-kernel cache read traffic.
+      pool_pages: pages staged per pool group (default ``2 * slots``,
+        rounded up to a multiple of ``refill_size``). Larger pools mean
+        fewer host round trips and more HBM for staged cross-K/V.
+      max_refill_per_chunk: slots refilled per serve-loop iteration
+        (default ``min(slots, 8)``); leftovers refill on later iterations.
     """
 
     def __init__(
@@ -113,6 +156,8 @@ class ContinuousBatcher:
         refill_size: int = 8,
         chunk_steps: int = 16,
         capacity_slack: Optional[int] = None,
+        pool_pages: Optional[int] = None,
+        max_refill_per_chunk: Optional[int] = None,
     ):
         self.model = model
         self.params = params
@@ -122,19 +167,38 @@ class ContinuousBatcher:
         self.pad = int(pad_token_id)
         self.E = min(int(refill_size), self.B)
         self.K = int(chunk_steps)
+        pid = np.asarray(prompt_ids, np.int32).reshape(-1)
+        self.Lp = int(pid.shape[0])
+        assert self.Lp < max_length, "prompt longer than max_length"
         if capacity_slack is None:
             # default: land C on the 128-column tile multiple bart.py will
             # allocate anyway (no wasted kernel read width), with at least
             # ~max_length/2 growth room between compactions
-            c = max(self.max_length + self.K + 8, (3 * self.max_length) // 2)
+            c = max(
+                self.max_length + self.K + self.Lp + 8,
+                (3 * self.max_length) // 2,
+            )
             self.C = -(-c // 128) * 128
         else:
             # explicit slack is honored exactly (tests force compaction with
-            # tiny capacities; bart still tile-pads its own allocation)
-            self.C = self.max_length + max(int(capacity_slack), self.K + 8)
-        pid = np.asarray(prompt_ids, np.int32).reshape(-1)
-        self.Lp = int(pid.shape[0])
-        assert self.Lp < max_length, "prompt longer than max_length"
+            # tiny capacities; bart still tile-pads its own allocation). The
+            # floor covers one refill (Lp) plus one chunk (K) past a compact.
+            self.C = self.max_length + max(
+                int(capacity_slack), self.K + self.Lp + 8
+            )
+        g = int(pool_pages) if pool_pages else 2 * self.B
+        self.G = max(self.E, -(-g // self.E) * self.E)  # multiple of E
+        self.R = 2 * (self.G + self.B)  # results ring rows
+        self.Rm = (
+            min(self.B, 8)
+            if max_refill_per_chunk is None
+            else max(1, min(int(max_refill_per_chunk), self.B))
+        )
+        # per-dispatch iteration bound: generous (the loop exits on its done
+        # condition; this only guards a logic bug from spinning forever)
+        self.max_outer = 8 + ((self.G + 2 * self.B) * self.max_length) // max(
+            1, self.K
+        )
         # shared prompt, left-aligned once on the host (mirrors
         # generation._left_align_prompts for the buffer contents)
         real = pid[pid != self.pad]
@@ -145,9 +209,8 @@ class ContinuousBatcher:
         self.decode_model = model.clone(max_cache_len=self.C)
         self._enc_shape = None  # (Lk, D, dtype), set by the first encode
 
-        self._jit_refill = jax.jit(self._refill, static_argnames=("n",))
-        self._jit_chunk = jax.jit(self._chunk, donate_argnums=(1,))
-        self._jit_compact = jax.jit(self._compact, donate_argnums=(0,))
+        self._jit_pool = jax.jit(self._pool)
+        self._jit_serve = jax.jit(self._serve, donate_argnums=(1, 3))
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -179,77 +242,110 @@ class ContinuousBatcher:
         )
         return mutated["cache"], logits[:, -1, :].astype(jnp.float32), valid
 
-    def _splice(self, state: _State, new_cache, new_logits, new_valid,
-                slot_ids, max_new, col):
-        """Splice freshly-prefilled pages into ``slot_ids`` rows of the
-        persistent state at shared column ``col`` (static int). Row writes
-        are per-row dynamic_update_slice (write-only), unrolled over the
-        static refill size; ``slot_ids`` rows must be distinct."""
-        E = new_logits.shape[0]
+    def _pool(self, params, enc, budgets):
+        """Stage one pool group: batched prefill of ``G`` pages, self-K/V
+        sliced to the prompt block (columns [0, Lp) are all a fresh page
+        carries), cross-K/V kept whole. One dispatch, async."""
+        cache, logits, _ = self._prefill(params, enc, self.G)
+
+        def slim(path, leaf):
+            if _is_self_kv(path):
+                return leaf[:, : self.Lp]
+            return leaf
+
+        return {
+            "cache": jax.tree_util.tree_map_with_path(slim, cache),
+            "logits": logits,
+            "budgets": budgets,
+        }
+
+    def _refill_from_pool(self, state: _State, pool, col, pool_next,
+                          n_staged, group_base):
+        """Splice up to ``Rm`` pool pages into free slots at shared column
+        ``col``. Called under ``lax.cond(any free & pool not drained)``, so
+        at least one page is taken; entries beyond the taken count repeat
+        the last taken entry's writes (same data, same row: deterministic)."""
+        B, Lp, Rm = self.B, self.Lp, self.Rm
+        free = state.harvested
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # (B,) rank among free
+        avail = n_staged - pool_next
+        take = free & (rank < jnp.minimum(avail, Rm))
+        n_take = jnp.sum(take.astype(jnp.int32))
+
+        # entry e -> (slot row, pool index), inactive entries duplicating
+        # the last active one
+        slot_ids, pool_ids = [], []
+        prev_row = jnp.int32(0)
+        prev_idx = jnp.asarray(pool_next, jnp.int32)
+        for e in range(Rm):
+            mask_e = take & (rank == e)
+            exists = jnp.any(mask_e)
+            row_e = jnp.where(
+                exists, jnp.argmax(mask_e).astype(jnp.int32), prev_row
+            )
+            idx_e = jnp.where(exists, pool_next + e, prev_idx)
+            slot_ids.append(row_e)
+            pool_ids.append(idx_e)
+            prev_row, prev_idx = row_e, idx_e
 
         def merge_leaf(path, dst, src):
             if _is_cache_index(path):
-                return jnp.asarray(col + self.Lp, dst.dtype)
+                return jnp.asarray(col + Lp, dst.dtype)
             if dst.ndim == 0:  # position_offset: unused (positions explicit)
                 return dst
             if _is_self_kv(path):
-                block = src[:, : self.Lp]  # prompt K/V at columns [0, Lp)
-                for e in range(E):
+                # pool holds the (G, Lp, D) prompt block; write it at the
+                # shared column (write-only, no full-cache rewrite)
+                for e in range(Rm):
+                    blk = jax.lax.dynamic_index_in_dim(
+                        src, pool_ids[e], 0, keepdims=True
+                    )
                     dst = jax.lax.dynamic_update_slice(
-                        dst, block[e : e + 1], (slot_ids[e], col, 0)
+                        dst, blk.astype(dst.dtype), (slot_ids[e], col, 0)
                     )
                 return dst
             # cross-attention leaves (cached_enc_* and int8 scales): full row
-            for e in range(E):
+            for e in range(Rm):
+                row = jax.lax.dynamic_index_in_dim(
+                    src, pool_ids[e], 0, keepdims=True
+                )
                 start = (slot_ids[e],) + (0,) * (src.ndim - 1)
-                dst = jax.lax.dynamic_update_slice(dst, src[e : e + 1], start)
+                dst = jax.lax.dynamic_update_slice(
+                    dst, row.astype(dst.dtype), start
+                )
             return dst
 
         cache = jax.tree_util.tree_map_with_path(
-            merge_leaf, state.cache, new_cache
+            merge_leaf, state.cache, pool["cache"]
         )
 
-        rows = jnp.zeros((self.B,), bool).at[slot_ids].set(True)
-        onehot = rows[:, None]
-
-        def by_slot(vals, fill):
-            out = jnp.full((self.B,) + vals.shape[1:], fill, vals.dtype)
-            return out.at[slot_ids].set(vals)
-
-        valid_b = by_slot(new_valid, 0)
+        pv = jnp.int32(self.prompt_valid)
+        idx_b = jnp.clip(pool_next + rank, 0, self.G - 1)
+        new_logits = jnp.take(pool["logits"], idx_b, axis=0)  # (B, V)
+        new_budget = jnp.take(pool["budgets"], idx_b, axis=0)
+        new_seq = group_base + pool_next + rank
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, self.C), 1)
-        prompt_cols = (col_iota >= col) & (col_iota < col + valid_b[:, None])
-        cache_mask = jnp.where(onehot, prompt_cols, state.cache_mask)
-
+        prompt_cols = (col_iota >= col) & (col_iota < col + pv)
+        onehot = take[:, None]
         prompt_row = jnp.asarray(self._prompt_row)
-        buffer = jnp.where(onehot, prompt_row[None], state.buffer)
-        return _State(
-            buffer=buffer,
+        state = _State(
+            buffer=jnp.where(onehot, prompt_row[None], state.buffer),
             cache=cache,
-            cache_mask=cache_mask,
-            tok_count=jnp.where(rows, valid_b, state.tok_count),
-            prompt_len=jnp.where(rows, valid_b, state.prompt_len),
-            finished=jnp.where(rows, False, state.finished),
-            logits=jnp.where(onehot, by_slot(new_logits, 0.0), state.logits),
-            max_new=jnp.where(rows, by_slot(max_new, 0), state.max_new),
+            cache_mask=jnp.where(onehot, prompt_cols, state.cache_mask),
+            tok_count=jnp.where(take, pv, state.tok_count),
+            prompt_len=jnp.where(take, pv, state.prompt_len),
+            finished=jnp.where(take, False, state.finished),
+            harvested=jnp.where(take, False, state.harvested),
+            logits=jnp.where(onehot, new_logits, state.logits),
+            max_new=jnp.where(take, new_budget, state.max_new),
+            page_seq=jnp.where(take, new_seq, state.page_seq),
         )
+        return state, col + Lp, pool_next + n_take
 
-    def _refill(self, params, enc, state: _State, slot_ids, max_new, col, n: int):
-        """Prefill ``n`` fresh pages AND splice them into ``slot_ids`` as ONE
-        jitted program. Dispatch count is the serving hot metric on remote-TPU
-        transports (every dispatch pays a host round trip measured in tens of
-        ms — docs/PERF.md "Continuous batching vs dispatch latency"), so the
-        two stages are fused rather than dispatched back-to-back."""
-        new_cache, new_logits, new_valid = self._prefill(params, enc, n)
-        return self._splice(
-            state, new_cache, new_logits, new_valid, slot_ids, max_new, col
-        )
-
-    def _chunk(self, params, state: _State, col):
+    def _decode_chunk(self, params, state: _State, col):
         """K greedy decode steps (the generate() body with per-row state);
-        ``col`` is the shared cache column at entry — a dynamic scalar (the
-        host mirrors its value to avoid device readbacks, but the jitted
-        program treats it as data, so no recompiles as it advances)."""
+        ``col`` is the shared cache column at entry — a traced scalar the
+        serve loop mirrors alongside the cache's own ``cache_index``."""
         buf_iota = jax.lax.broadcasted_iota(jnp.int32, (1, self.max_length), 1)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, self.C), 1)
         lk, dim, enc_dtype = self._enc_shape
@@ -279,15 +375,13 @@ class ContinuousBatcher:
                 mutable=["cache"],
                 positions=positions,
             )
-            return _State(
+            return s._replace(
                 buffer=buffer,
                 cache=mutated["cache"],
                 cache_mask=cache_mask,
                 tok_count=s.tok_count + (~s.finished),
-                prompt_len=s.prompt_len,
                 finished=newly,
                 logits=step_logits[:, -1, :].astype(jnp.float32),
-                max_new=s.max_new,
             )
 
         return jax.lax.fori_loop(0, self.K, body, state)
@@ -323,6 +417,74 @@ class ContinuousBatcher:
         )
         return state._replace(cache=cache, cache_mask=new_mask)
 
+    def _harvest(self, state: _State, res: _Results, floor_seq):
+        """Scatter finished slots' buffers into the results ring. A ring row
+        is reused only once its previous occupant is behind the host's read
+        floor; blocked slots stay finished-unharvested and retry later."""
+        R = self.R
+        ready = state.finished & ~state.harvested
+        ring = jnp.where(ready, jnp.mod(state.page_seq, R), R)
+        prev = jnp.take(res.done_seq, ring)
+        ready = ready & (prev < floor_seq)
+        ring = jnp.where(ready, jnp.mod(state.page_seq, R), R)
+        seq = jnp.where(ready, state.page_seq, -1)
+        return (
+            state._replace(harvested=state.harvested | ready),
+            _Results(
+                tokens=res.tokens.at[ring].set(state.buffer),
+                lengths=res.lengths.at[ring].set(state.tok_count),
+                done_seq=res.done_seq.at[ring].set(seq),
+            ),
+        )
+
+    def _serve(self, params, state: _State, pool, res: _Results, col,
+               pool_next, n_staged, group_base, more_stream, floor_seq):
+        """The serve program: loop [compact? -> refill -> decode K ->
+        harvest] until the pool drains (and, when another pool group is
+        staged, at least one slot is free for it) or every slot is idle.
+        ONE dispatch + ONE host readback covers the whole loop."""
+
+        def cond(carry):
+            i, state, res, col, pool_next = carry
+            drained = pool_next >= n_staged
+            all_h = jnp.all(state.harvested)
+            any_h = jnp.any(state.harvested)
+            done = drained & (all_h | (more_stream & any_h))
+            # ring-safety stall: every slot finished, pending harvests
+            # blocked, no refill possible — only a host read unblocks
+            stalled = (
+                jnp.all(state.finished)
+                & jnp.any(state.finished & ~state.harvested)
+                & (drained | ~any_h)
+            )
+            return (i < self.max_outer) & ~done & ~stalled
+
+        def body(carry):
+            i, state, res, col, pool_next = carry
+            state, col = jax.lax.cond(
+                col + self.K + self.Lp + 1 > self.C,
+                lambda s, c: (self._compact(s), jnp.int32(self.max_length)),
+                lambda s, c: (s, c),
+                state, col,
+            )
+            need = jnp.any(state.harvested) & (pool_next < n_staged)
+            state, col, pool_next = jax.lax.cond(
+                need,
+                lambda s, c, p: self._refill_from_pool(
+                    s, pool, c, p, n_staged, group_base
+                ),
+                lambda s, c, p: (s, c, p),
+                state, col, pool_next,
+            )
+            state = self._decode_chunk(params, state, col)
+            col = col + self.K
+            state, res = self._harvest(state, res, floor_seq)
+            return (i + 1, state, res, col, pool_next)
+
+        carry = (jnp.int32(0), state, res, col, pool_next)
+        _, state, res, col, pool_next = jax.lax.while_loop(cond, body, carry)
+        return state, res, col, pool_next
+
     # ------------------------------------------------------------------
     # host orchestration
     # ------------------------------------------------------------------
@@ -336,48 +498,59 @@ class ContinuousBatcher:
     ) -> Iterator[PageResult]:
         """Decode a stream of ``(page_id, image)`` pairs; yields PageResults
         in completion order. ``encode_fn`` maps an (n, H, W, C) image batch
-        to encoder output (n, Lk, D) — called with static batch sizes
-        ``slots`` (once, initial fill) and ``refill_size``.
-        ``max_new_tokens``: optional per-page generation budget
-        (page_id -> int >= 1); defaults to the max_length budget."""
+        to encoder output (n, Lk, D) — called with static batch size
+        ``refill_size``. ``max_new_tokens``: optional per-page generation
+        budget (page_id -> int >= 1); defaults to the max_length budget."""
         it = iter(pages)
-        B, E, Lp = self.B, self.E, self.Lp
+        B, E, G, R = self.B, self.E, self.G, self.R
+        stream_done = False
 
         def take(n):
+            nonlocal stream_done
             out = []
             for _ in range(n):
                 try:
                     out.append(next(it))
                 except StopIteration:
+                    stream_done = True
                     break
             return out
 
-        def budgets(batch_pages, n):
-            m = [
-                (max_new_tokens(pid) if max_new_tokens else self.max_length)
-                for pid, _ in batch_pages
-            ]
-            m += [0] * (n - len(batch_pages))  # dummy slots finish instantly
-            return jnp.asarray(m, jnp.int32)
+        def stage(group):
+            """Encode + prefill one pool group (dispatches are async: the
+            device works through them behind the running serve program)."""
+            if not group:
+                return None
+            encs = []
+            for lo in range(0, len(group), E):
+                imgs = [np.asarray(img) for _, img in group[lo:lo + E]]
+                if len(imgs) < E:
+                    imgs += [np.zeros_like(imgs[0])] * (E - len(imgs))
+                enc = encode_fn(jnp.asarray(np.stack(imgs)))
+                if self._enc_shape is None:
+                    self._enc_shape = (enc.shape[1], enc.shape[2], enc.dtype)
+                encs.append(enc)
+            lk, d, dt = self._enc_shape
+            while len(encs) < G // E:
+                encs.append(jnp.zeros((E, lk, d), dt))
+            enc = jnp.concatenate(encs, axis=0) if len(encs) > 1 else encs[0]
+            budgets = np.ones((G,), np.int32)
+            for i, (pid, _) in enumerate(group):
+                b = max_new_tokens(pid) if max_new_tokens else self.max_length
+                budgets[i] = max(1, int(b))
+            pool = self._jit_pool(self.params, enc, jnp.asarray(budgets))
+            return pool, len(group), [pid for pid, _ in group]
 
-        def encode_batch(batch_pages, n):
-            imgs = [np.asarray(img) for _, img in batch_pages]
-            pad_n = n - len(imgs)
-            if pad_n:
-                imgs += [np.zeros_like(imgs[0])] * pad_n
-            enc = encode_fn(jnp.asarray(np.stack(imgs)))
-            if self._enc_shape is None:
-                self._enc_shape = (enc.shape[1], enc.shape[2], enc.dtype)
-            return enc
-
-        # ---- initial fill (the refill path at batch B, slot_ids=arange) ----
-        first = take(B)
-        if not first:
+        cur = stage(take(G))
+        if cur is None:
             return
-        enc = encode_batch(first, B)
-        # abstract-trace the prefill once for the persistent-state shapes
-        # (cache tree at batch B, vocab size) without running anything
-        shapes = jax.eval_shape(lambda p, e: self._prefill(p, e, B), self.params, enc)
+        nxt = stage(take(G)) if not stream_done else None
+
+        lk, d, dt = self._enc_shape
+        shapes = jax.eval_shape(
+            lambda p, e: self._prefill(p, e, B),
+            self.params, jax.ShapeDtypeStruct((B, lk, d), dt),
+        )
         V = shapes[1].shape[1]
         state = _State(
             buffer=jnp.full((B, self.max_length), self.pad, jnp.int32),
@@ -386,74 +559,68 @@ class ContinuousBatcher:
             ),
             cache_mask=jnp.zeros((B, self.C), bool),
             tok_count=jnp.zeros((B,), jnp.int32),
-            prompt_len=jnp.full((B,), Lp, jnp.int32),
-            finished=jnp.zeros((B,), bool),
+            prompt_len=jnp.full((B,), self.Lp, jnp.int32),
+            finished=jnp.ones((B,), bool),
+            harvested=jnp.ones((B,), bool),
             logits=jnp.zeros((B, V), jnp.float32),
             max_new=jnp.zeros((B,), jnp.int32),
+            page_seq=jnp.full((B,), -1, jnp.int32),
         )
-        col = 0  # host mirror of the shared self-cache write column
-        state = self._jit_refill(
-            self.params, enc, state,
-            jnp.arange(B, dtype=jnp.int32), budgets(first, B), col, n=B,
+        res = _Results(
+            tokens=jnp.full((R + 1, self.max_length), self.pad, jnp.int32),
+            lengths=jnp.zeros((R + 1,), jnp.int32),
+            done_seq=jnp.full((R + 1,), -1, jnp.int32),
         )
-        col += Lp
-        slot_pages = [pid for pid, _ in first] + [None] * (B - len(first))
-        stream_done = len(first) < B
-        harvested = [len(first) <= i for i in range(B)]  # unused slots: done
+        col = jnp.int32(0)
+        pool_next = jnp.int32(0)
+        group_base = 0
+        consumed = 0
+        next_seq = 0
+        outstanding = {}  # global seq -> page_id
+        pending_stage = False
 
         while True:
-            if col + self.K + 1 > self.C:  # chunk must not overflow capacity
-                state = self._jit_compact(state)
-                col = self.max_length
-            state = self._jit_chunk(self.params, state, col)
-            col += self.K
-            # ONE host round trip per chunk: the finished mask plus the small
-            # token buffer/counts (the payload is KBs; the trip is the cost)
-            finished, buf, cnt = (
+            floor = min(outstanding) if outstanding else next_seq
+            more = (nxt is not None) or (pending_stage and not stream_done)
+            state, res, col, pool_next = self._jit_serve(
+                self.params, state, cur[0], res, col, pool_next,
+                jnp.int32(cur[1]), jnp.int32(group_base),
+                jnp.asarray(more), jnp.int32(floor),
+            )
+            if pending_stage:
+                # stage the NEXT group while the dispatched serve program
+                # runs — its encode/prefill queue behind the serve program,
+                # so the pool is ready the moment the current one drains
+                nxt = stage(take(G)) if not stream_done else None
+                pending_stage = False
+            # the round trip: ONE blocking readback per serve dispatch
+            pn, done_seq, toks, lens, harv = (
                 np.asarray(x) for x in jax.device_get(
-                    (state.finished, state.buffer, state.tok_count)
+                    (pool_next, res.done_seq, res.tokens, res.lengths,
+                     state.harvested)
                 )
             )
-            done_slots = [
-                i for i in range(B) if finished[i] and not harvested[i]
-            ]
-            if done_slots:
-                for i in done_slots:
-                    harvested[i] = True
-                    if slot_pages[i] is not None:
-                        yield PageResult(
-                            page_id=slot_pages[i],
-                            tokens=buf[i, : cnt[i]].copy(),
-                            length=int(cnt[i]),
-                        )
-                        slot_pages[i] = None
-            # refill when a full refill batch of slots is free
-            free = [i for i in range(B) if harvested[i]]
-            while not stream_done and len(free) >= E:
-                batch_pages = take(E)
-                if len(batch_pages) < E:
-                    stream_done = True
-                if not batch_pages:
-                    break
-                slot_ids, free = free[:E], free[E:]
-                enc = encode_batch(batch_pages, E)
-                if col + Lp + self.K + 1 > self.C:
-                    state = self._jit_compact(state)
-                    col = self.max_length
-                state = self._jit_refill(
-                    self.params, enc, state,
-                    jnp.asarray(slot_ids, jnp.int32), budgets(batch_pages, E),
-                    col, n=E,
-                )
-                col += Lp
-                for k, (pid, _) in enumerate(batch_pages):
-                    slot_pages[slot_ids[k]] = pid
-                    harvested[slot_ids[k]] = False
-                for k in range(len(batch_pages), E):
-                    harvested[slot_ids[k]] = True  # dummy pad slots
-            if all(harvested):
-                if stream_done:
+            for i in range(consumed, int(pn)):
+                outstanding[group_base + i] = cur[2][i]
+                next_seq = group_base + i + 1
+            consumed = int(pn)
+            for seq in sorted(outstanding):
+                r = seq % R
+                if done_seq[r] == seq:
+                    n = int(lens[r])
+                    yield PageResult(
+                        outstanding.pop(seq), toks[r, :n].copy(), n
+                    )
+            if consumed >= cur[1]:  # pool drained
+                if nxt is not None:
+                    group_base += cur[1]
+                    cur = nxt
+                    nxt = None
+                    pending_stage = True
+                    consumed = 0
+                    pool_next = jnp.int32(0)
+                    continue
+                if not pending_stage and bool(harv.all()) and not outstanding:
                     return
-                raise RuntimeError(
-                    "serving invariant violated: idle slots with pages pending"
-                )
+            # else: pool not drained (iteration cap / ring stall) or slots
+            # still draining — dispatch again with an advanced read floor

@@ -769,12 +769,14 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
         max_new_tokens: Optional[int] = None,
         refill_size: int = 8,
         chunk_steps: int = 16,
+        pool_pages: Optional[int] = None,
     ):
         """Continuous-batching decode over a page stream: yields
         ``(page_id, text)`` in completion order. Unlike :meth:`generate_text`,
         a batch never waits for its slowest page — finished slots are
-        refilled mid-stream (ops/serving.py). Single-device jit (serving
-        targets one replica per chip; run one process per chip to scale)."""
+        refilled mid-stream on-device from a staged pool (ops/serving.py).
+        Single-device jit (serving targets one replica per chip; run one
+        process per chip to scale)."""
         from pixparse_tpu.ops.serving import ContinuousBatcher
 
         prompt_row = self.prompt_ids(prompt, 1)[0]
@@ -788,6 +790,7 @@ class BaseCrullerEvalTask(TaskEval, CrullerVocabMixin):
             pad_token_id=self.tokenizer.pad_token_id,
             refill_size=refill_size,
             chunk_steps=chunk_steps,
+            pool_pages=pool_pages,
         )
         encode = lambda imgs: self.encode_images(np.asarray(imgs))
         budget = (lambda pid: max_new_tokens) if max_new_tokens else None

@@ -140,6 +140,33 @@ def test_short_stream_and_empty_stream():
     assert list(b.run(iter([]), encode)) == []
 
 
+def test_many_pool_groups_parity():
+    """pages >> pool_pages: several pool swaps (device-side refill from
+    successive staged groups) must not perturb any page's tokens."""
+    model, params, encode, imgs, cfg = _setup(9)
+    _, results = _run_batcher(
+        model, params, encode, imgs, cfg, pool_pages=2, chunk_steps=2,
+    )
+    assert sorted(r.page_id for r in results) == list(range(9))
+    for r in results:
+        ref = _reference_tokens(model, params, encode, imgs[r.page_id], cfg, 12)
+        np.testing.assert_array_equal(r.tokens, ref, err_msg=f"page {r.page_id}")
+
+
+def test_refill_cap_lag_parity():
+    """max_refill_per_chunk=1: free slots queue for refill across chunk
+    iterations; results must still be exact and complete."""
+    model, params, encode, imgs, cfg = _setup(7)
+    _, results = _run_batcher(
+        model, params, encode, imgs, cfg, slots=3, max_refill_per_chunk=1,
+        chunk_steps=2,
+    )
+    assert sorted(r.page_id for r in results) == list(range(7))
+    for r in results:
+        ref = _reference_tokens(model, params, encode, imgs[r.page_id], cfg, 12)
+        np.testing.assert_array_equal(r.tokens, ref, err_msg=f"page {r.page_id}")
+
+
 def test_generate_max_new_tokens_rowwise():
     """The generate() budget arg finishes rows independently."""
     model, params, encode, imgs, cfg = _setup(2)
