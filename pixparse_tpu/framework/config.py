@@ -25,6 +25,12 @@ class OptimizationCfg:
     momentum: Optional[float] = None
     betas: Optional[Tuple[float, float]] = None
     layer_decay: Optional[float] = None
+    # 'bfloat16': store Adam moments (m AND v) in bf16 — halves optimizer
+    # state HBM (footprint + per-step update traffic); update math still
+    # runs in fp32 on upcast moments. Opt-in: the stored-moment rounding
+    # perturbs training at bf16 noise level (parity-delta test-pinned —
+    # tests/test_optimization.py::test_bf16_optimizer_state_parity).
+    optimizer_state_dtype: str = "float32"
 
 
 @dataclass

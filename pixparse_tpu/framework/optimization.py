@@ -34,6 +34,7 @@ import logging
 from typing import Any, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from pixparse_tpu.framework.config import OptimizationCfg
@@ -176,6 +177,76 @@ def scale_by_layer_decay(
 
 
 # --------------------------------------------------------------------------
+# Adam with reduced-precision stored moments (opt-in)
+# --------------------------------------------------------------------------
+
+def scale_by_adam_state_dtype(
+    b1: float, b2: float, eps: float, state_dtype
+) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with BOTH moments stored in ``state_dtype``.
+
+    bf16 moments halve optimizer-state HBM — footprint AND the per-step
+    update traffic (the Adam update is bandwidth-bound: reads p/m/v/g and
+    writes p/m/v; see docs/PERF.md cruller_base ceiling accounting). The
+    update math runs in fp32 on upcast moments; only the carried state is
+    rounded, so the perturbation is bf16 quantization noise on m/v — the
+    parity delta is pinned in tests/test_optimization.py. optax's own
+    ``mu_dtype`` covers only the first moment; this covers both.
+    """
+    state_dtype = jnp.dtype(state_dtype)
+    tree_map = jax.tree_util.tree_map
+
+    def init_fn(params):
+        def zeros(p):
+            return jnp.zeros_like(p, dtype=state_dtype)
+
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=tree_map(zeros, params),
+            nu=tree_map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        b1c = 1.0 - b1 ** count.astype(jnp.float32)
+        b2c = 1.0 - b2 ** count.astype(jnp.float32)
+        mu32 = tree_map(
+            lambda g, m: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32),
+            updates, state.mu,
+        )
+        nu32 = tree_map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates, state.nu,
+        )
+        new_updates = tree_map(
+            lambda g, m, v: ((m / b1c) / (jnp.sqrt(v / b2c) + eps)).astype(
+                g.dtype
+            ),
+            updates, mu32, nu32,
+        )
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=tree_map(lambda m: m.astype(state_dtype), mu32),
+            nu=tree_map(lambda v: v.astype(state_dtype), nu32),
+        )
+        return new_updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _resolve_state_dtype(name: str):
+    name = (name or "float32").lower()
+    if name in ("float32", "fp32", "f32", ""):
+        return None  # default: optax's own fp32-state adam
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown optimizer_state_dtype {name!r}")
+
+
+# --------------------------------------------------------------------------
 # weight-decay mask
 # --------------------------------------------------------------------------
 
@@ -241,8 +312,20 @@ def create_optimizer(
 
     name = (cfg.optimizer or "adamw").lower()
     betas = tuple(cfg.betas) if cfg.betas else (0.9, 0.999)
+    state_dtype = _resolve_state_dtype(
+        getattr(cfg, "optimizer_state_dtype", "float32")
+    )
     if name in ("adamw", "adam"):
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=cfg.eps))
+        if state_dtype is None:
+            chain.append(
+                optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=cfg.eps)
+            )
+        else:
+            chain.append(
+                scale_by_adam_state_dtype(
+                    betas[0], betas[1], cfg.eps, state_dtype
+                )
+            )
         if name == "adamw" and cfg.weight_decay:
             chain.append(
                 optax.add_decayed_weights(

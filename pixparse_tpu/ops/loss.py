@@ -337,8 +337,19 @@ def _ce_bwd_pallas(h2, e, t2, lse, coef, vlim, *, v_pad, block_t, block_v):
 
 # backward dh scratch budget: (T_chunk, D) f32 must stay well under VMEM;
 # chunk the token dim at the XLA level when T is large (a python loop of
-# kernel calls — dE partials are summed in fp32 outside)
+# kernel calls — dE partials are summed in fp32 outside). Each extra chunk
+# costs one full embedding re-stream plus one (V, D) f32 dE partial
+# write+read, so LONGER chunks trade VMEM pressure for HBM traffic:
+# PIXPARSE_CE_BWD_CHUNK overrides the default (opt-in; the fp32 dE partial
+# summation order changes, so grads move at reassociation noise —
+# tests/test_fused_ce.py pins the delta).
 _BWD_TOKEN_CHUNK = 4096
+
+
+def _bwd_token_chunk() -> int:
+    import os
+
+    return int(os.environ.get("PIXPARSE_CE_BWD_CHUNK", _BWD_TOKEN_CHUNK))
 
 
 
@@ -450,7 +461,7 @@ def _ce_bwd_local(hidden, embedding, targets, lse, g_nll, *, vocab_total,
     coef1 = jnp.where(valid_p, g1, 0.0)
     coef = jnp.broadcast_to(coef1[:, None], (T_p, _STAT_LANES))
 
-    chunk = _round_up(min(_BWD_TOKEN_CHUNK, T_p), block_t)
+    chunk = _round_up(min(_bwd_token_chunk(), T_p), block_t)
     dh_parts, de_acc = [], None
     for lo in range(0, T_p, chunk):
         hi = min(lo + chunk, T_p)

@@ -482,8 +482,8 @@ class ContinuousBatcher:
             return (i + 1, state, res, col, pool_next)
 
         carry = (jnp.int32(0), state, res, col, pool_next)
-        _, state, res, col, pool_next = jax.lax.while_loop(cond, body, carry)
-        return state, res, col, pool_next
+        i, state, res, col, pool_next = jax.lax.while_loop(cond, body, carry)
+        return state, res, col, pool_next, i
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -579,20 +579,28 @@ class ContinuousBatcher:
         outstanding = {}  # global seq -> page_id
         pending_stage = False
 
+        import os
+        import time as _time
+
+        debug = os.environ.get("PIXPARSE_SERVE_DEBUG") == "1"
+        n_dispatch = 0
         while True:
             floor = min(outstanding) if outstanding else next_seq
             more = (nxt is not None) or (pending_stage and not stream_done)
-            state, res, col, pool_next = self._jit_serve(
+            t0 = _time.perf_counter() if debug else 0.0
+            state, res, col, pool_next, iters = self._jit_serve(
                 self.params, state, cur[0], res, col, pool_next,
                 jnp.int32(cur[1]), jnp.int32(group_base),
                 jnp.asarray(more), jnp.int32(floor),
             )
+            n_dispatch += 1
             if pending_stage:
                 # stage the NEXT group while the dispatched serve program
                 # runs — its encode/prefill queue behind the serve program,
                 # so the pool is ready the moment the current one drains
                 nxt = stage(take(G)) if not stream_done else None
                 pending_stage = False
+            t1 = _time.perf_counter() if debug else 0.0
             # the round trip: ONE blocking readback per serve dispatch
             pn, done_seq, toks, lens, harv = (
                 np.asarray(x) for x in jax.device_get(
@@ -600,6 +608,15 @@ class ContinuousBatcher:
                      state.harvested)
                 )
             )
+            if debug:
+                print(
+                    f"[serve] dispatch {n_dispatch}: iters={int(jax.device_get(iters))} "
+                    f"pool_next={int(pn)}/{cur[1]} free={int(harv.sum())} "
+                    f"enqueue={1e3 * (t1 - t0):.1f}ms "
+                    f"block={1e3 * (_time.perf_counter() - t1):.1f}ms "
+                    f"more={more} floor={floor}",
+                    flush=True,
+                )
             for i in range(consumed, int(pn)):
                 outstanding[group_base + i] = cur[2][i]
                 next_seq = group_base + i + 1

@@ -55,6 +55,18 @@ def test_fused_ce_matches_dense(data):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_fused_ce_bwd_chunk_env(data, monkeypatch):
+    """PIXPARSE_CE_BWD_CHUNK (longer/shorter backward token chunks — the
+    HBM-vs-VMEM trade, docs/PERF.md) only reassociates the fp32 dE partial
+    sum: grads must match the single-chunk result at fp32 noise."""
+    hidden, emb, tgt = data
+    g_default = jax.grad(_fused, argnums=(0, 1))(hidden, emb, tgt)
+    monkeypatch.setenv("PIXPARSE_CE_BWD_CHUNK", "8")  # forces many chunks
+    g_chunked = jax.grad(_fused, argnums=(0, 1))(hidden, emb, tgt)
+    for a, b in zip(g_default, g_chunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_fused_ce_all_ignored():
     hidden = jnp.zeros((2, 4, 16), jnp.float32)
     emb = jnp.ones((33, 16), jnp.float32)
