@@ -11,58 +11,55 @@ batch max. The reference has no serving path at all (its eval decode is a
 per-sample full-prefix recompute, /root/reference/src/pixparse/utils/ocr_utils.py);
 this module is the TPU-first design for the deployment story.
 
-**The refill decision lives ON DEVICE.** The first design of this module
-orchestrated chunks from the host (decode K steps -> read back the finished
-mask -> maybe dispatch a refill) and lost its own A/B 6x: on a remote-TPU
-transport every blocking host<->device round trip costs tens of ms
-(measured 27 ms through the axon tunnel, docs/PERF.md "Continuous batching
-vs dispatch latency"), and the host paid one per chunk plus one per refill
-while batch decode pays ~one per batch. The rewrite stages a POOL of
-pre-encoded, pre-prefilled pages in HBM and folds harvest + refill into one
-jitted ``lax.while_loop`` program, so the host blocks roughly once per pool
-group (~``pool_pages`` pages) and the transport latency amortizes away:
+Two designs of this module LOST their own A/B before the current one won it;
+both failure modes are structural lessons (docs/PERF.md "Continuous batching
+vs dispatch latency"):
 
-- **Pool staging** (host, all dispatches async): pages are encoded in
-  fixed-size batches, prefilled in ONE batched program (cross-K/V, the
-  shared prompt's self-K/V, first logits), and parked in HBM together with
-  per-page generation budgets.
-- **Serve program** (one jitted ``lax.while_loop``): each iteration runs
-  [compact-if-needed -> refill free slots from the pool -> K decode steps
-  -> harvest finished slots into a results ring]. All control flow is
-  ``lax.cond``/``fori_loop`` on static shapes; the host passes only traced
-  scalars (pool cursor, group base, ring floor), so the program compiles
-  once.
-- **Decode chunks**: ``lax.fori_loop`` of K single-token steps over the
-  persistent state; per-slot token counts give per-row positions, a one-hot
-  column write appends to each row's compact output buffer.
+1. **Host-orchestrated chunks** (round 4, 0.16x): decode K steps -> read the
+   finished mask -> maybe dispatch a refill. On a remote-TPU transport every
+   blocking round trip costs tens of ms (27 ms measured), paid per chunk and
+   per refill; batch decode pays ~one per batch.
+2. **Device-side loop with ``lax.cond`` refill/compact branches** (0.2x):
+   folding the refill decision into one jitted while_loop fixed the dispatch
+   count (3 dispatches for 160 pages) but the xplane showed ~50% of device
+   time as while-op SELF time — XLA inserts full-carry copies when the big
+   cache buffers thread through ``cond`` boundaries inside the loop body
+   (the 400 MB cross-K/V copied ~every iteration), and chunk-granular
+   refill idled finished slots ~K/2 steps each.
+
+The current design is ONE flat step-granular ``lax.while_loop`` whose body
+contains NO ``lax.cond``:
+
+- **Pool staging** (host, async dispatches): pages are encoded in fixed
+  batches, prefilled in one batched program (cross-K/V, the shared prompt's
+  self-K/V, first logits), and parked in HBM with per-page budgets. The host
+  double-buffers pool groups behind the running serve program.
+- **Serve program**: every iteration = [masked refill of up to ``Rm`` free
+  slots] -> [one decode step] — both unconditional. Inactive refill entries
+  write a row's CURRENT contents back to itself (idempotent, a few MB), so
+  no branch is needed and XLA's while-loop in-place buffer aliasing works
+  exactly as in :func:`generate`'s loop.
+- **Results ring**: a finishing slot keeps its tokens in the persistent
+  buffer; the rows are flushed into a host-readable ring when the slot is
+  REFILLED (its buffer is about to be overwritten) and once at program exit
+  — not per step. Ring rows are keyed by page sequence number modulo the
+  ring size; an assignment-time conflict gate (no live slot, no unread ring
+  occupant on the target row) plus a host read-floor operand make reuse
+  provably safe — a blocked refill simply retries next iteration.
 - **Shared cache column**: the self-attention cache keeps its scalar write
-  index (one ``dynamic_update_slice`` per step — a per-row scatter would
-  either serialize on TPU or rewrite the whole cache every step). A refilled
-  slot simply CONTINUES at the current shared column with its positions
-  restarted at 0; an explicit per-slot ``cache_mask`` makes attention see
-  only the slot's own K/V, and position embeddings come from explicit
-  per-row positions, so cache-column order is irrelevant to the math.
-- **Refill**: up to ``max_refill_per_chunk`` free slots per iteration take
-  the next pool pages; per-row ``dynamic_update_slice`` splices each page's
-  cross-K/V rows and prompt self-K/V block into the persistent caches
-  (write-only, no full-cache rewrite; entries beyond the taken count
-  duplicate the last taken entry's write — identical data to the same row,
-  deterministic).
-- **Harvest**: a finished slot's token buffer is scattered into a results
-  ring (size 2·(pool+slots)) keyed by the page's global sequence number;
-  a ``done_seq`` row tags the occupant. Ring rows are only overwritten once
-  the host confirms the previous occupant was read (the ``floor_seq``
-  operand) — a blocked harvest simply retries next iteration.
-- **Compaction**: the shared column grows ~1/step, so the self cache has
-  ``capacity > max_length``; when the slack is exhausted, a one-hot matmul
-  compresses every row's valid columns left (MXU-shaped, a few GFLOPs).
-  Masked softmax entries are exact zeros and compress-left preserves key
-  order, so compaction is bitwise-exact.
+  index (one ``dynamic_update_slice`` per step). A refilled slot CONTINUES
+  at the current shared column with positions restarted at 0; the per-slot
+  ``cache_mask`` makes attention see only the slot's own K/V, so
+  cache-column order is irrelevant to the math.
+- **Compaction**: the shared column grows ~1/step; when the slack would be
+  exhausted the loop EXITS (capacity exit) and the next dispatch starts
+  with a single compact (a ``cond`` OUTSIDE the loop, once per dispatch):
+  a one-hot matmul compresses every row's valid columns left —
+  bitwise-exact (masked keys are exact softmax zeros, order preserved).
 
-The host loop double-buffers pool groups: while the serve program runs on
-group N, group N+1's encode/prefill dispatches are already enqueued, so the
-device never idles on staging. The serve program exits early when its pool
-drains and a fresh one is waiting.
+The host blocks once per dispatch (pool drain / capacity exit / all idle),
+reading the small result ring + scalars; dispatch count is ~pool-group
+granularity, so the transport latency amortizes away.
 
 Greedy parity with :func:`generate` is exact (tests/test_serving.py).
 """
@@ -93,10 +90,9 @@ class _State(NamedTuple):
     tok_count: jax.Array   # (B,) int32 — valid tokens (prompt + generated)
     prompt_len: jax.Array  # (B,) int32 — valid prompt tokens per row
     finished: jax.Array    # (B,) bool — row hit eos/budget/capacity
-    harvested: jax.Array   # (B,) bool — row's result written to the ring
     logits: jax.Array      # (B, V) f32 — pending next-token distribution
     max_new: jax.Array     # (B,) int32 — per-slot generation budget
-    page_seq: jax.Array    # (B,) int32 — global sequence number of the page
+    page_seq: jax.Array    # (B,) int32 — global sequence number (-1 = none)
 
 
 class _Results(NamedTuple):
@@ -129,18 +125,19 @@ class ContinuousBatcher:
       eos_token_id / pad_token_id: as in generate().
       refill_size: encode batch size for pool staging (static; ``encode_fn``
         is called at exactly this batch).
-      chunk_steps: decode steps per refill/harvest check inside the serve
-        program. No host traffic is involved, so small values (8-16) are
-        cheap and cut finished-slot idling (a slot idles ~K/2 steps between
-        finishing and refill).
-      capacity_slack: extra self-cache columns beyond max_length; compaction
-        triggers when exhausted. More slack = rarer compaction but more
-        decode-kernel cache read traffic.
+      chunk_steps: unused (kept for signature compatibility — refill and
+        result flushing are per-step device-side operations now).
+      capacity_slack: extra self-cache columns beyond max_length; a capacity
+        EXIT (followed by an entry-compact on the next dispatch) triggers
+        when exhausted. More slack = fewer dispatches but more decode-kernel
+        cache read traffic; the default sizes it so capacity exits are about
+        as frequent as pool-drain exits.
       pool_pages: pages staged per pool group (default ``2 * slots``,
         rounded up to a multiple of ``refill_size``). Larger pools mean
         fewer host round trips and more HBM for staged cross-K/V.
-      max_refill_per_chunk: slots refilled per serve-loop iteration
-        (default ``min(slots, 8)``); leftovers refill on later iterations.
+      max_refill_per_step: slots refilled per decode step (default 2 — the
+        steady-state finishing rate is ``slots/mean_len`` per step, well
+        under 1; leftovers refill on later steps while other slots decode).
     """
 
     def __init__(
@@ -157,8 +154,9 @@ class ContinuousBatcher:
         chunk_steps: int = 16,
         capacity_slack: Optional[int] = None,
         pool_pages: Optional[int] = None,
-        max_refill_per_chunk: Optional[int] = None,
+        max_refill_per_step: Optional[int] = None,
     ):
+        del chunk_steps  # compat: the loop is step-granular now
         self.model = model
         self.params = params
         self.B = int(slots)
@@ -166,39 +164,31 @@ class ContinuousBatcher:
         self.eos = int(eos_token_id)
         self.pad = int(pad_token_id)
         self.E = min(int(refill_size), self.B)
-        self.K = int(chunk_steps)
         pid = np.asarray(prompt_ids, np.int32).reshape(-1)
         self.Lp = int(pid.shape[0])
         assert self.Lp < max_length, "prompt longer than max_length"
         if capacity_slack is None:
-            # default: land C on the 128-column tile multiple bart.py will
-            # allocate anyway (no wasted kernel read width), with at least
-            # ~max_length/2 growth room between compactions
-            c = max(
-                self.max_length + self.K + self.Lp + 8,
-                (3 * self.max_length) // 2,
-            )
+            # default: 2x max_length (tile-rounded) — the column budget per
+            # dispatch is (C - max_length)/(1 + Lp) steps minimum, and 2x
+            # keeps capacity exits rarer than pool-drain exits while only
+            # widening the per-step self-cache read stream
+            c = max(2 * self.max_length, self.max_length + 32 * (self.Lp + 1))
             self.C = -(-c // 128) * 128
         else:
-            # explicit slack is honored exactly (tests force compaction with
-            # tiny capacities; bart still tile-pads its own allocation). The
-            # floor covers one refill (Lp) plus one chunk (K) past a compact.
-            self.C = self.max_length + max(
-                int(capacity_slack), self.K + self.Lp + 8
-            )
+            # explicit slack is honored exactly (tests force frequent
+            # capacity exits with tiny slacks); floor = one refill + a step
+            self.C = self.max_length + max(int(capacity_slack), self.Lp + 4)
         g = int(pool_pages) if pool_pages else 2 * self.B
         self.G = max(self.E, -(-g // self.E) * self.E)  # multiple of E
         self.R = 2 * (self.G + self.B)  # results ring rows
         self.Rm = (
-            min(self.B, 8)
-            if max_refill_per_chunk is None
-            else max(1, min(int(max_refill_per_chunk), self.B))
+            min(self.B, 2)
+            if max_refill_per_step is None
+            else max(1, min(int(max_refill_per_step), self.B))
         )
-        # per-dispatch iteration bound: generous (the loop exits on its done
-        # condition; this only guards a logic bug from spinning forever)
-        self.max_outer = 8 + ((self.G + 2 * self.B) * self.max_length) // max(
-            1, self.K
-        )
+        # per-dispatch step bound: generous (the loop exits on its own done
+        # conditions; this only guards a logic bug from spinning forever)
+        self.max_steps = 16 + (self.G + 2 * self.B) * self.max_length
         # shared prompt, left-aligned once on the host (mirrors
         # generation._left_align_prompts for the buffer contents)
         real = pid[pid != self.pad]
@@ -259,60 +249,128 @@ class ContinuousBatcher:
             "budgets": budgets,
         }
 
-    def _refill_from_pool(self, state: _State, pool, col, pool_next,
-                          n_staged, group_base):
-        """Splice up to ``Rm`` pool pages into free slots at shared column
-        ``col``. Called under ``lax.cond(any free & pool not drained)``, so
-        at least one page is taken; entries beyond the taken count repeat
-        the last taken entry's writes (same data, same row: deterministic)."""
-        B, Lp, Rm = self.B, self.Lp, self.Rm
-        free = state.harvested
+    def _flush_rows(self, state: _State, res: _Results, floor_seq, mask):
+        """Masked write of slots' buffers into the results ring. A ring row
+        is written only when its previous occupant is behind the host's read
+        floor (or IS this seq — re-flush is idempotent); blocked rows retry
+        on a later flush. Returns the updated ring."""
+        R = self.R
+        ready = mask & (state.page_seq >= 0)
+        ring = jnp.where(ready, jnp.mod(state.page_seq, R), R)
+        prev = jnp.take(res.done_seq, ring)
+        ready = ready & ((prev < floor_seq) | (prev == state.page_seq))
+        ring = jnp.where(ready, jnp.mod(state.page_seq, R), R)
+        seq = jnp.where(ready, state.page_seq, -1)
+        return _Results(
+            tokens=res.tokens.at[ring].set(state.buffer),
+            lengths=res.lengths.at[ring].set(state.tok_count),
+            done_seq=res.done_seq.at[ring].set(seq),
+        )
+
+    def _refill(self, state: _State, pool, res: _Results, col, pool_next,
+                n_staged, group_base, floor_seq):
+        """Unconditional masked refill of up to ``Rm`` finished slots with
+        the next pool pages. Runs EVERY step — inactive entries write a
+        row's current contents back to itself (idempotent small writes), so
+        the loop body needs no ``lax.cond`` and XLA keeps the cache buffers
+        aliased in place. Outgoing rows are flushed to the results ring
+        first. Returns (state, res, col, pool_next, n_take)."""
+        B, Lp, Rm, R = self.B, self.Lp, self.Rm, self.R
+        free = state.finished
         rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # (B,) rank among free
         avail = n_staged - pool_next
-        take = free & (rank < jnp.minimum(avail, Rm))
+
+        # ring-safety assignment gate, per candidate rank r: the NEW seq's
+        # ring row must hold no live slot's seq and no unread flushed seq.
+        # Consumption stops at the first blocked rank (pool order preserved).
+        r_idx = jnp.arange(Rm, dtype=jnp.int32)
+        ns = group_base + pool_next + r_idx            # (Rm,) new seqs
+        ring_ns = jnp.mod(ns, R)
+        live = state.page_seq >= 0                     # (B,)
+        conflict_live = jnp.any(
+            live[None, :] & (jnp.mod(state.page_seq, R)[None, :] == ring_ns[:, None]),
+            axis=1,
+        )                                              # (Rm,)
+        occupant = jnp.take(res.done_seq, ring_ns)     # (Rm,)
+        conflict_ring = occupant >= floor_seq          # unread occupant
+        blocked = conflict_live | conflict_ring
+        first_block = jnp.min(jnp.where(blocked, r_idx, Rm))
+        n_allowed = jnp.minimum(jnp.minimum(avail, Rm), first_block)
+        take = free & (rank < n_allowed)
         n_take = jnp.sum(take.astype(jnp.int32))
 
-        # entry e -> (slot row, pool index), inactive entries duplicating
-        # the last active one
-        slot_ids, pool_ids = [], []
-        prev_row = jnp.int32(0)
-        prev_idx = jnp.asarray(pool_next, jnp.int32)
+        # entry e -> (slot row, pool index); inactive entries become
+        # idempotent self-writes (row keeps its own current data)
+        any_take = n_take > 0
+        col_new = jnp.where(any_take, col + Lp, col)
+        slot_ids, pool_ids, actives = [], [], []
         for e in range(Rm):
             mask_e = take & (rank == e)
             exists = jnp.any(mask_e)
             row_e = jnp.where(
-                exists, jnp.argmax(mask_e).astype(jnp.int32), prev_row
+                exists, jnp.argmax(mask_e).astype(jnp.int32), jnp.int32(0)
             )
-            idx_e = jnp.where(exists, pool_next + e, prev_idx)
+            idx_e = jnp.clip(pool_next + e, 0, self.G - 1)
             slot_ids.append(row_e)
             pool_ids.append(idx_e)
-            prev_row, prev_idx = row_e, idx_e
+            actives.append(exists)
+
+        # flush the outgoing rows' results before their buffers are reused:
+        # per-entry unconditional dynamic_update_slice rows (inactive/fresh
+        # entries land on the scratch ring row R) — NOT a full-batch scatter,
+        # which would serialize B updates every step. No floor check needed
+        # here: the assignment gate above never co-assigns two live seqs to
+        # one ring row, so a refilled slot's own ring row can only hold
+        # stale (host-read) data or this very seq (idempotent re-flush).
+        tokens, lengths, done_seq = res
+        for e in range(Rm):
+            seq_e = jax.lax.dynamic_index_in_dim(
+                state.page_seq, slot_ids[e], 0, keepdims=False
+            )
+            ok = actives[e] & (seq_e >= 0)
+            ring_e = jnp.where(ok, jnp.mod(seq_e, R), R)
+            row_tok = jax.lax.dynamic_index_in_dim(
+                state.buffer, slot_ids[e], 0, keepdims=True
+            )
+            tokens = jax.lax.dynamic_update_slice(tokens, row_tok, (ring_e, 0))
+            cnt = jax.lax.dynamic_index_in_dim(
+                state.tok_count, slot_ids[e], 0, keepdims=True
+            )
+            lengths = jax.lax.dynamic_update_slice(lengths, cnt, (ring_e,))
+            done_seq = jax.lax.dynamic_update_slice(
+                done_seq, jnp.where(ok, seq_e, -1)[None], (ring_e,)
+            )
+        res = _Results(tokens=tokens, lengths=lengths, done_seq=done_seq)
 
         def merge_leaf(path, dst, src):
             if _is_cache_index(path):
-                return jnp.asarray(col + Lp, dst.dtype)
+                return jnp.asarray(col_new, dst.dtype)
             if dst.ndim == 0:  # position_offset: unused (positions explicit)
                 return dst
             if _is_self_kv(path):
                 # pool holds the (G, Lp, D) prompt block; write it at the
-                # shared column (write-only, no full-cache rewrite)
+                # shared column. Inactive entries rewrite the current block.
                 for e in range(Rm):
-                    blk = jax.lax.dynamic_index_in_dim(
+                    new_blk = jax.lax.dynamic_index_in_dim(
                         src, pool_ids[e], 0, keepdims=True
+                    ).astype(dst.dtype)
+                    cur_blk = jax.lax.dynamic_slice(
+                        dst, (slot_ids[e], col, 0), new_blk.shape
                     )
+                    blk = jnp.where(actives[e], new_blk, cur_blk)
                     dst = jax.lax.dynamic_update_slice(
-                        dst, blk.astype(dst.dtype), (slot_ids[e], col, 0)
+                        dst, blk, (slot_ids[e], col, 0)
                     )
                 return dst
             # cross-attention leaves (cached_enc_* and int8 scales): full row
             for e in range(Rm):
-                row = jax.lax.dynamic_index_in_dim(
-                    src, pool_ids[e], 0, keepdims=True
-                )
                 start = (slot_ids[e],) + (0,) * (src.ndim - 1)
-                dst = jax.lax.dynamic_update_slice(
-                    dst, row.astype(dst.dtype), start
-                )
+                new_row = jax.lax.dynamic_index_in_dim(
+                    src, pool_ids[e], 0, keepdims=True
+                ).astype(dst.dtype)
+                cur_row = jax.lax.dynamic_slice(dst, start, new_row.shape)
+                row = jnp.where(actives[e], new_row, cur_row)
+                dst = jax.lax.dynamic_update_slice(dst, row, start)
             return dst
 
         cache = jax.tree_util.tree_map_with_path(
@@ -335,56 +393,48 @@ class ContinuousBatcher:
             tok_count=jnp.where(take, pv, state.tok_count),
             prompt_len=jnp.where(take, pv, state.prompt_len),
             finished=jnp.where(take, False, state.finished),
-            harvested=jnp.where(take, False, state.harvested),
             logits=jnp.where(onehot, new_logits, state.logits),
             max_new=jnp.where(take, new_budget, state.max_new),
             page_seq=jnp.where(take, new_seq, state.page_seq),
         )
-        return state, col + Lp, pool_next + n_take
+        return state, res, col_new, pool_next + n_take, n_take
 
-    def _decode_chunk(self, params, state: _State, col):
-        """K greedy decode steps (the generate() body with per-row state);
-        ``col`` is the shared cache column at entry — a traced scalar the
-        serve loop mirrors alongside the cache's own ``cache_index``."""
+    def _decode_step(self, params, state: _State, col):
+        """One greedy decode step (the generate() body with per-row state);
+        ``col`` is the shared cache column this step writes."""
         buf_iota = jax.lax.broadcasted_iota(jnp.int32, (1, self.max_length), 1)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, self.C), 1)
         lk, dim, enc_dtype = self._enc_shape
         dummy_enc = jnp.zeros((self.B, lk, dim), enc_dtype)
-
-        def body(i, s: _State):
-            c = col + i
-            tok = jnp.argmax(s.logits, axis=-1).astype(jnp.int32)
-            budget_hit = (s.tok_count - s.prompt_len + 1) >= s.max_new
-            cap_hit = (s.tok_count + 1) >= self.max_length
-            newly = s.finished | (tok == self.eos) | budget_hit | cap_hit
-            write = jnp.where(s.finished, self.pad, tok)
-            buffer = jnp.where(
-                (buf_iota == s.tok_count[:, None]) & ~s.finished[:, None],
-                write[:, None], s.buffer,
-            )
-            cache_mask = s.cache_mask | (
-                (col_iota == c) & ~s.finished[:, None]
-            )
-            positions = s.tok_count[:, None]
-            step_logits, mutated = self.decode_model.apply(
-                {"params": params, "cache": s.cache},
-                write[:, None],
-                dummy_enc,
-                key_pad_mask=cache_mask,
-                mode="decode", method="decode",
-                mutable=["cache"],
-                positions=positions,
-            )
-            return s._replace(
-                buffer=buffer,
-                cache=mutated["cache"],
-                cache_mask=cache_mask,
-                tok_count=s.tok_count + (~s.finished),
-                finished=newly,
-                logits=step_logits[:, -1, :].astype(jnp.float32),
-            )
-
-        return jax.lax.fori_loop(0, self.K, body, state)
+        s = state
+        tok = jnp.argmax(s.logits, axis=-1).astype(jnp.int32)
+        budget_hit = (s.tok_count - s.prompt_len + 1) >= s.max_new
+        cap_hit = (s.tok_count + 1) >= self.max_length
+        newly = s.finished | (tok == self.eos) | budget_hit | cap_hit
+        write = jnp.where(s.finished, self.pad, tok)
+        buffer = jnp.where(
+            (buf_iota == s.tok_count[:, None]) & ~s.finished[:, None],
+            write[:, None], s.buffer,
+        )
+        cache_mask = s.cache_mask | ((col_iota == col) & ~s.finished[:, None])
+        positions = s.tok_count[:, None]
+        step_logits, mutated = self.decode_model.apply(
+            {"params": params, "cache": s.cache},
+            write[:, None],
+            dummy_enc,
+            key_pad_mask=cache_mask,
+            mode="decode", method="decode",
+            mutable=["cache"],
+            positions=positions,
+        )
+        return s._replace(
+            buffer=buffer,
+            cache=mutated["cache"],
+            cache_mask=cache_mask,
+            tok_count=s.tok_count + (~s.finished),
+            finished=newly,
+            logits=step_logits[:, -1, :].astype(jnp.float32),
+        )
 
     def _compact(self, state: _State):
         """Compress every row's valid self-cache columns left (bitwise-exact:
@@ -417,72 +467,57 @@ class ContinuousBatcher:
         )
         return state._replace(cache=cache, cache_mask=new_mask)
 
-    def _harvest(self, state: _State, res: _Results, floor_seq):
-        """Scatter finished slots' buffers into the results ring. A ring row
-        is reused only once its previous occupant is behind the host's read
-        floor; blocked slots stay finished-unharvested and retry later."""
-        R = self.R
-        ready = state.finished & ~state.harvested
-        ring = jnp.where(ready, jnp.mod(state.page_seq, R), R)
-        prev = jnp.take(res.done_seq, ring)
-        ready = ready & (prev < floor_seq)
-        ring = jnp.where(ready, jnp.mod(state.page_seq, R), R)
-        seq = jnp.where(ready, state.page_seq, -1)
-        return (
-            state._replace(harvested=state.harvested | ready),
-            _Results(
-                tokens=res.tokens.at[ring].set(state.buffer),
-                lengths=res.lengths.at[ring].set(state.tok_count),
-                done_seq=res.done_seq.at[ring].set(seq),
-            ),
-        )
-
     def _serve(self, params, state: _State, pool, res: _Results, col,
                pool_next, n_staged, group_base, more_stream, floor_seq):
-        """The serve program: loop [compact? -> refill -> decode K ->
-        harvest] until the pool drains (and, when another pool group is
-        staged, at least one slot is free for it) or every slot is idle.
-        ONE dispatch + ONE host readback covers the whole loop."""
+        """The serve program: [entry compact if the column is past
+        max_length] then a flat step-granular while loop of
+        [masked refill -> one decode step] with NO branch in the body.
+        Exits on pool drain (immediately when another pool group is staged
+        and a slot is free for it; otherwise when every slot is idle),
+        capacity exhaustion, or a ring/floor stall. ONE dispatch + ONE host
+        readback covers the whole loop; results ride in the ring."""
+        # entry compaction: once per dispatch, OUTSIDE the loop (a cond in
+        # the loop body forces XLA to copy the full cache carry every
+        # iteration — the round-5 lesson in the module docstring)
+        state, col = jax.lax.cond(
+            col > self.max_length,
+            lambda s, c: (self._compact(s), jnp.int32(self.max_length)),
+            lambda s, c: (s, jnp.asarray(c, jnp.int32)),
+            state, col,
+        )
 
         def cond(carry):
-            i, state, res, col, pool_next = carry
+            i, state, res, col, pool_next, stalled = carry
             drained = pool_next >= n_staged
-            all_h = jnp.all(state.harvested)
-            any_h = jnp.any(state.harvested)
-            done = drained & (all_h | (more_stream & any_h))
-            # ring-safety stall: every slot finished, pending harvests
-            # blocked, no refill possible — only a host read unblocks
-            stalled = (
-                jnp.all(state.finished)
-                & jnp.any(state.finished & ~state.harvested)
-                & (drained | ~any_h)
-            )
-            return (i < self.max_outer) & ~done & ~stalled
+            all_f = jnp.all(state.finished)
+            any_f = jnp.any(state.finished)
+            done = drained & (all_f | (more_stream & any_f))
+            cap = col + self.Lp + 2 > self.C
+            return (i < self.max_steps) & ~done & ~stalled & ~cap
 
         def body(carry):
-            i, state, res, col, pool_next = carry
-            state, col = jax.lax.cond(
-                col + self.K + self.Lp + 1 > self.C,
-                lambda s, c: (self._compact(s), jnp.int32(self.max_length)),
-                lambda s, c: (s, c),
-                state, col,
+            i, state, res, col, pool_next, _ = carry
+            state, res, col, pool_next, n_take = self._refill(
+                state, pool, res, col, pool_next, n_staged, group_base,
+                floor_seq,
             )
-            need = jnp.any(state.harvested) & (pool_next < n_staged)
-            state, col, pool_next = jax.lax.cond(
-                need,
-                lambda s, c, p: self._refill_from_pool(
-                    s, pool, c, p, n_staged, group_base
-                ),
-                lambda s, c, p: (s, c, p),
-                state, col, pool_next,
+            state = self._decode_step(params, state, col)
+            col = col + 1
+            # stall: every slot idle and this step's refill moved nothing
+            # (pool blocked by the ring floor) — only a host read unblocks
+            stalled = jnp.all(state.finished) & (n_take == 0) & (
+                pool_next < n_staged
             )
-            state = self._decode_chunk(params, state, col)
-            col = col + self.K
-            state, res = self._harvest(state, res, floor_seq)
-            return (i + 1, state, res, col, pool_next)
+            return (i + 1, state, res, col, pool_next, stalled)
 
-        carry = (jnp.int32(0), state, res, col, pool_next)
-        i, state, res, col, pool_next = jax.lax.while_loop(cond, body, carry)
+        carry = (jnp.int32(0), state, res, col, pool_next, jnp.asarray(False))
+        i, state, res, col, pool_next, _ = jax.lax.while_loop(
+            cond, body, carry
+        )
+        # exit flush: rows that finished and were never refilled (their data
+        # still sits in the persistent buffers) go to the ring here, once
+        # per dispatch — re-flushing an already-flushed row is idempotent
+        res = self._flush_rows(state, res, floor_seq, state.finished)
         return state, res, col, pool_next, i
 
     # ------------------------------------------------------------------
@@ -561,7 +596,6 @@ class ContinuousBatcher:
             tok_count=jnp.zeros((B,), jnp.int32),
             prompt_len=jnp.full((B,), self.Lp, jnp.int32),
             finished=jnp.ones((B,), bool),
-            harvested=jnp.ones((B,), bool),
             logits=jnp.zeros((B, V), jnp.float32),
             max_new=jnp.zeros((B,), jnp.int32),
             page_seq=jnp.full((B,), -1, jnp.int32),
@@ -602,16 +636,16 @@ class ContinuousBatcher:
                 pending_stage = False
             t1 = _time.perf_counter() if debug else 0.0
             # the round trip: ONE blocking readback per serve dispatch
-            pn, done_seq, toks, lens, harv = (
+            pn, done_seq, toks, lens, fin = (
                 np.asarray(x) for x in jax.device_get(
                     (pool_next, res.done_seq, res.tokens, res.lengths,
-                     state.harvested)
+                     state.finished)
                 )
             )
             if debug:
                 print(
-                    f"[serve] dispatch {n_dispatch}: iters={int(jax.device_get(iters))} "
-                    f"pool_next={int(pn)}/{cur[1]} free={int(harv.sum())} "
+                    f"[serve] dispatch {n_dispatch}: steps={int(jax.device_get(iters))} "
+                    f"pool_next={int(pn)}/{cur[1]} idle={int(fin.sum())} "
                     f"enqueue={1e3 * (t1 - t0):.1f}ms "
                     f"block={1e3 * (_time.perf_counter() - t1):.1f}ms "
                     f"more={more} floor={floor}",
@@ -637,7 +671,12 @@ class ContinuousBatcher:
                     consumed = 0
                     pool_next = jnp.int32(0)
                     continue
-                if not pending_stage and bool(harv.all()) and not outstanding:
+                if (
+                    not pending_stage
+                    and bool(fin.all())
+                    and not outstanding
+                ):
                     return
-            # else: pool not drained (iteration cap / ring stall) or slots
-            # still draining — dispatch again with an advanced read floor
+            # else: pool not drained (capacity exit / step cap / ring
+            # stall) or slots still draining — dispatch again with an
+            # advanced read floor (entry compact reclaims the column)

@@ -154,11 +154,11 @@ def test_many_pool_groups_parity():
 
 
 def test_refill_cap_lag_parity():
-    """max_refill_per_chunk=1: free slots queue for refill across chunk
-    iterations; results must still be exact and complete."""
+    """max_refill_per_step=1: free slots queue for refill across steps;
+    results must still be exact and complete."""
     model, params, encode, imgs, cfg = _setup(7)
     _, results = _run_batcher(
-        model, params, encode, imgs, cfg, slots=3, max_refill_per_chunk=1,
+        model, params, encode, imgs, cfg, slots=3, max_refill_per_step=1,
         chunk_steps=2,
     )
     assert sorted(r.page_id for r in results) == list(range(7))
