@@ -619,8 +619,13 @@ def bench_serve_decode(
     batch to its SLOWEST page; continuous batching (ops/serving.py) refills
     finished slots mid-stream from a device-resident pre-encoded pool. Both
     paths run the identical model, params (`.pt` import), encode program
-    (same encode batch = ``slots``) and per-page budgets; both timings
-    include encode. Reported as pages/s/chip each + the ratio."""
+    and per-page budgets; both timings include the full serving data path —
+    per-batch host->device image upload (uint8 pages, normalized on device:
+    4x less transfer than f32 — decisive on a bandwidth-limited transport)
+    and encode. Round-4's A/B let the batched side reuse ONE device-resident
+    f32 batch while the continuous side uploaded every page — an asymmetry
+    worth ~30% of the continuous time on the axon tunnel; both sides now
+    upload every page. Reported as pages/s/chip each + the ratio."""
     import jax
     import jax.numpy as jnp
 
@@ -633,14 +638,23 @@ def bench_serve_decode(
     n_chips = mesh.devices.size
     rng = np.random.RandomState(seed)
     lengths = rng.randint(max_new // 4, max_new + 1, n_pages).astype(np.int32)
-    # one shared image: content doesn't affect timing (budgets drive the
-    # stopping, eos=-1 never fires), and it keeps host RAM flat
-    image = rng.rand(*vit_cfg.img_size, vit_cfg.in_chans).astype(np.float32)
-    images_b = jnp.asarray(np.broadcast_to(image, (slots, *image.shape)).copy())
+    # one shared page image: content doesn't affect timing (budgets drive
+    # the stopping, eos=-1 never fires), and it keeps host RAM flat. Pages
+    # ship as uint8 (the serving wire format) and normalize on device.
+    image_u8 = (rng.rand(*vit_cfg.img_size, vit_cfg.in_chans) * 255).astype(
+        np.uint8
+    )
+    batch_u8 = np.ascontiguousarray(
+        np.broadcast_to(image_u8, (slots, *image_u8.shape))
+    )
     max_length = 1 + max_new  # 1-token prompt
 
     encode_jit = jax.jit(
-        lambda p, im: model.apply({"params": p}, im, method="encode")
+        lambda p, im: model.apply(
+            {"params": p},
+            im.astype(jnp.float32) / 255.0,
+            method="encode",
+        )
     )
 
     def run_batched():
@@ -650,7 +664,7 @@ def bench_serve_decode(
             chunk = lengths[lo:lo + slots]
             budget[: len(chunk)] = chunk
             budget[len(chunk):] = 1  # padded rows finish immediately
-            enc = encode_jit(params, images_b)
+            enc = encode_jit(params, jnp.asarray(batch_u8))
             out = generate(
                 model, params, enc, jnp.full((slots, 1), 1, jnp.int32),
                 max_length=max_length, eos_token_id=-1, pad_token_id=0,
@@ -668,7 +682,7 @@ def bench_serve_decode(
     )
 
     def run_continuous(n):
-        pages = ((i, image) for i in range(n))
+        pages = ((i, image_u8) for i in range(n))
         done = 0
         for _ in batcher.run(
             pages, lambda im: encode_jit(params, im),

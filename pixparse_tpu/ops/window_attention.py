@@ -52,6 +52,18 @@ def _interpret() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
+def _vmem_limit_mb() -> int:
+    import os
+
+    # The kernel's working set is ~8 MB; a far larger scoped-VMEM limit
+    # lets Mosaic over-commit VMEM that surrounding XLA computations may
+    # also be holding live — a candidate mechanism for the
+    # composition-dependent worker fault (docs/repro_window_fault.py):
+    # whether the limit collides depends on what ELSE the program keeps in
+    # VMEM, not on the kernel's own shapes. Overridable for fault triage.
+    return int(os.environ.get("PIXPARSE_WINDOW_VMEM_MB", "32"))
+
+
 def _compiler_params(semantics="parallel"):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -59,7 +71,7 @@ def _compiler_params(semantics="parallel"):
         # fwd grid steps are independent ("parallel"); only the bwd needs
         # sequential steps ("arbitrary") for the cross-step dbias accumulation
         dimension_semantics=(semantics,),
-        vmem_limit_bytes=100 * 1024 * 1024,
+        vmem_limit_bytes=_vmem_limit_mb() * 1024 * 1024,
     )
 
 
