@@ -503,11 +503,20 @@ def _eval_setup(model_name, dtype, label, image_size=None, attn_impl=None,
     mesh = create_mesh()
 
     _note(f"bench[{label}]: init params...")
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, *vit_cfg.img_size, vit_cfg.in_chans)),
-        jnp.zeros((1, 4), jnp.int32),
-    )
+    # init on the HOST cpu backend: the `.pt` round-trip below needs the
+    # fp32 tree in host memory, and pulling ~800 MB off a remote TPU
+    # through the tunnel costs minutes (only the final bf16 upload should
+    # touch the device). Pallas kernels don't lower on the cpu backend, so
+    # init through an attn_impl='xla' clone — the parameter tree is
+    # identical (attention implementations are parameter-free).
+    init_model = model.clone(attn_impl="xla")
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu0):
+        variables = jax.jit(init_model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *vit_cfg.img_size, vit_cfg.in_chans)),
+            jnp.zeros((1, 4), jnp.int32),
+        )
     raw_params = nn.unbox(variables["params"])
     params_source = "pt_import"
     try:
