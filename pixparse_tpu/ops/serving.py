@@ -138,6 +138,16 @@ class ContinuousBatcher:
       max_refill_per_step: slots refilled per decode step (default 2 — the
         steady-state finishing rate is ``slots/mean_len`` per step, well
         under 1; leftovers refill on later steps while other slots decode).
+
+    Scaling note: the one blocking readback per dispatch transfers the FULL
+    results ring — ``(2*(pool_pages+slots)+1, max_length)`` int32 tokens
+    (~100 KB at the bench sizes). That is deliberate: ring rows are only
+    reusable once the host has READ them (the ``floor_seq`` protocol), so a
+    partial fetch would need a second round trip to learn which rows to
+    fetch — on the transports where this class wins, round trips cost more
+    than the bytes. If ``pool_pages * max_length`` grows to MBs on a
+    bandwidth-limited transport, shrink ``pool_pages`` (more dispatches,
+    smaller rings) rather than fetching selectively.
     """
 
     def __init__(

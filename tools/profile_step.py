@@ -57,21 +57,49 @@ def main() -> None:
         cfg.image_encoder.image_size = (int(h), int(w))
     vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
     remat = args.remat if args.remat not in ("False", "false", False) else False
-    model = Cruller(vit_cfg, bart_cfg, dtype=dtype, attn_impl=args.attn, remat=remat)
-
-    micro_b = args.batch // args.grad_accum
-    example = (
-        jnp.zeros((micro_b, *vit_cfg.img_size, vit_cfg.in_chans), jnp.float32),
-        jnp.zeros((micro_b, args.text_len), jnp.int32),
-    )
     rng = np.random.RandomState(0)
+    micro_b = args.batch // args.grad_accum
     shape = (
         (args.grad_accum, micro_b) if args.grad_accum > 1 else (args.batch,)
     )
-    batch_np = {
-        "image": rng.rand(*shape, *vit_cfg.img_size, vit_cfg.in_chans).astype(
+    if args.model.startswith("pix2struct"):
+        # mirrors bench.bench_train_pix2struct: full-length patch batches
+        # through the varlen flash encoder
+        from pixparse_tpu.models.pix2struct import Pix2StructCruller
+
+        model = Pix2StructCruller(
+            vit_cfg, bart_cfg, dtype=dtype, attn_impl=args.attn
+        )
+        n = vit_cfg.max_patches
+        pdim = vit_cfg.patch_size ** 2 * vit_cfg.in_chans
+        example_img = {
+            "patches": jnp.zeros((1, n, pdim), jnp.float32),
+            "rows": jnp.zeros((1, n), jnp.int32),
+            "cols": jnp.zeros((1, n), jnp.int32),
+            "mask": jnp.ones((1, n), bool),
+        }
+        example = (example_img, jnp.zeros((1, args.text_len), jnp.int32))
+        cols_per_row = max(1, min(vit_cfg.max_cols, n // 2))
+        idx = np.arange(n, dtype=np.int32)
+        batch_img = {
+            "patches": rng.rand(*shape, n, pdim).astype(np.float32),
+            "rows": np.broadcast_to(idx // cols_per_row, (*shape, n)).copy(),
+            "cols": np.broadcast_to(idx % cols_per_row, (*shape, n)).copy(),
+            "mask": np.ones((*shape, n), bool),
+        }
+    else:
+        model = Cruller(
+            vit_cfg, bart_cfg, dtype=dtype, attn_impl=args.attn, remat=remat
+        )
+        example = (
+            jnp.zeros((micro_b, *vit_cfg.img_size, vit_cfg.in_chans), jnp.float32),
+            jnp.zeros((micro_b, args.text_len), jnp.int32),
+        )
+        batch_img = rng.rand(*shape, *vit_cfg.img_size, vit_cfg.in_chans).astype(
             np.float32
-        ),
+        )
+    batch_np = {
+        "image": batch_img,
         "text": rng.randint(4, bart_cfg.vocab_size, (*shape, args.text_len)).astype(
             np.int32
         ),
