@@ -933,10 +933,13 @@ def main():
         donut_size = (1280, 960) if on_accelerator else None
         # measured best train recipe: B=4 remat='gelu' + fused window
         # kernel 18.3 samples/s (xla window attn: 13.8; 'mlp' 13.4).
-        # flash is safe here: B<=4 full-model validated on chip — B=8
-        # faults (see docs/PERF.md "Fused Swin window attention")
+        # flash at B=4 is inside the guard's validated envelope
+        # (models/swin.py::_flash_window_unvalidated; B>4 multi-stage
+        # reroutes to XLA). Env override for guarded batch A/Bs:
+        # PIXPARSE_BENCH_DONUT_BS (half-batch units).
+        donut_half = int(os.environ.get("PIXPARSE_BENCH_DONUT_BS", donut_bs))
         donut = bench_train_synthetic(
-            donut_name, donut_bs * 2, 511, max(steps // 2, 3), warmup,
+            donut_name, donut_half * 2, 511, max(steps // 2, 3), warmup,
             dtype, attn_impl, remat="gelu", reps=reps,
             label="train/donut_base", image_size=donut_size,
         )
@@ -944,11 +947,14 @@ def main():
             donut["samples_per_sec_per_chip"]
         )
         extra["donut_base_step_ms"] = donut["step_ms"]
-        # encoder attn_impl='xla': the fused window kernel faults in the
-        # FULL donut encode at B=8 1280x960 (B<=4 and every standalone
-        # stage shape pass — composition-dependent Mosaic fault, see
-        # docs/PERF.md). The Pallas decode-attention kernel is gated on
-        # platform, not attn_impl, so the 128-step decode loop keeps it.
+        # encoder attn_impl='xla': the fused window kernel faults in SOME
+        # compiled compositions (composition-dependent Mosaic fault, see
+        # docs/PERF.md). Round-5 re-test on jax 0.9.0: the four round-3/4
+        # repro compositions now pass, but THIS decode composition (jitted
+        # B=16 encode + KV-cache decode program) still crashed the worker —
+        # the envelope moves across pins, so the guard and this fallback
+        # stay. The Pallas decode-attention kernel is gated on platform,
+        # not attn_impl, so the 128-step decode loop keeps its kernel.
         ddec = bench_eval_decode(
             donut_name, 16 if on_accelerator else 8,
             decode_len, max(decode_steps // 2, 2), dtype,

@@ -17,14 +17,28 @@ Two smallest known-faulting compositions (pick via argv[1]):
   python docs/repro_window_fault.py grad_b4    # encoder-only grad, B=4
   python docs/repro_window_fault.py depths222  # 3-stage fwd+bwd, B=8
   python docs/repro_window_fault.py control    # B=4 passing control
+  python docs/repro_window_fault.py full_b8    # full-depth fwd+bwd, B=8
+  python docs/repro_window_fault.py encode_b16 # full-depth fwd only, B=16
+                                               # (the eval/decode encode)
+
+UPDATE (round 5, jax 0.9.0): the fault's envelope MOVED — every mode of
+this script (including both 0.8.x faulters and the new full_b8/encode_b16)
+now survives, but the bench donut DECODE composition (jitted B=16 encode +
+KV-cache decode program, `python bench.py donut` with the guard bypassed)
+crashed the worker the same way. The set of faulting compositions
+reshuffles with the compiler pin; the production guard
+(models/swin.py::_flash_window_unvalidated) therefore STAYS. Read a
+passing canary as necessary, not sufficient: only the exact production
+composition counts as validated. Re-run all modes AND the bench donut
+rows after any jax/jaxlib upgrade.
 
 Environment of record (round 3/4): jax 0.8.x, single TPU v5e via axon,
 donut_swin_base geometry (1280x960, patch 4, window 10, embed 128).
 
-The production guard (models/swin.py::_flash_window_unvalidated) would
-silently reroute the B=8 composition to XLA; this script disables it via
-PIXPARSE_UNSAFE_FLASH_WINDOW=1 — that env var exists ONLY for this kind
-of fault work.
+The production guard (models/swin.py::_flash_window_unvalidated) reroutes
+batch>4 multi-stage compositions to XLA; this script disables it via
+PIXPARSE_UNSAFE_FLASH_WINDOW=1 — that env var exists ONLY for this kind of
+fault work.
 """
 
 import os
@@ -72,6 +86,16 @@ def main():
     elif mode == "control":
         # B=4 truncated-depth — PASSES (same kernels, smaller context)
         model, params, x = build((2, 2), 4)
+    elif mode == "full_b8":
+        # full donut depths fwd+bwd at B=8 — the composition the round-3/4
+        # guard existed for
+        model, params, x = build((2, 2, 14, 2), 8)
+    elif mode == "encode_b16":
+        # fwd-only full-depth encode at B=16 — the eval/decode envelope
+        model, params, x = build((2, 2, 14, 2), 16)
+        out = jax.jit(model.apply)(params, x)
+        print("survived:", mode, float(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
+        return
     else:
         raise SystemExit(f"unknown mode {mode!r}")
     g = encoder_grad(model, params, x)

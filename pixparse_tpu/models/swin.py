@@ -47,6 +47,15 @@ def _flash_window_unvalidated(batch: int, num_stages: int) -> bool:
     full multi-stage encodes above B=4 fall back to the XLA window attention
     rather than risking a worker crash. CPU/interpret is unaffected.
 
+    Round-5 finding (jax 0.9.0): the fault's envelope MOVES across compiler
+    versions but the bug is alive — every round-3/4 faulting repro
+    composition (encoder-only grad B=4, depths-(2,2,2) B=8, full-depth
+    fwd+bwd B=8, full-depth fwd B=16) now passes on chip, yet the B=16
+    eval-decode composition (jitted encode + KV-cache decode program)
+    crashed the worker the same way. Shape-based envelopes cannot be
+    trusted across pins; this conservative guard stays until the kernel
+    survives an upstream-fixed compiler.
+
     ``PIXPARSE_UNSAFE_FLASH_WINDOW=1`` disables the guard — ONLY for
     fault-reproduction / root-cause work (docs/repro_window_fault.py);
     it can and will crash the TPU worker on affected compositions.
