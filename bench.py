@@ -628,7 +628,7 @@ def bench_eval_decode(
 def bench_serve_decode(
     model_name, slots, max_new, n_pages, dtype,
     label="eval/serve", seed=0, refill_size=None, chunk_steps=16,
-    pool_pages=None,
+    pool_pages=None, kv_cache_dtype="bf16",
 ):
     """Mixed-length OCR workload (page generation lengths drawn uniform
     [max_new/4, max_new], simulating per-page EOS): batch decode runs every
@@ -648,8 +648,14 @@ def bench_serve_decode(
     from pixparse_tpu.ops.generation import generate
     from pixparse_tpu.ops.serving import ContinuousBatcher
 
+    # kv_cache_dtype='int8' composes with the batcher (path-based cache
+    # splice/compact is dtype-agnostic; exact parity with int8 generate()
+    # pinned in tests/test_serving.py). lm_head int8 is NOT used here: the
+    # batcher's decode step applies the head inside the model, where inline
+    # quantization re-runs every step (the measured regression —
+    # docs/PERF.md int8 section); only generate() hoists it outside.
     model, params, mesh, vit_cfg, params_source = _eval_setup(
-        model_name, dtype, label
+        model_name, dtype, label, kv_cache_dtype=kv_cache_dtype
     )
     n_chips = mesh.devices.size
     rng = np.random.RandomState(seed)

@@ -189,3 +189,31 @@ def test_generate_max_new_tokens_rowwise():
     np.testing.assert_array_equal(
         np.asarray(out.tokens[1, :n]), np.asarray(ref.tokens[1, :n])
     )
+
+
+def test_int8_kv_cache_parity():
+    """kv_cache_dtype='int8' composes with the batcher: the path-based
+    cache slice/splice/compact is dtype-agnostic (int8 code leaves and
+    their scale leaves ride the same pytree ops), and prefill quantizes
+    identically in the pool stager and in generate() — so serving tokens
+    must be EXACTLY the int8 generate() tokens."""
+    cfg = get_model_config("cruller_test")
+    vit_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
+    model = Cruller(vit_cfg, bart_cfg, kv_cache_dtype="int8")
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(5, *vit_cfg.img_size, vit_cfg.in_chans).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(imgs[:1]), jnp.zeros((1, 4), jnp.int32)
+    )
+    import flax.linen as nn
+
+    params = nn.unbox(variables["params"])
+    encode = jax.jit(
+        lambda x: model.apply({"params": params}, x, method="encode")
+    )
+    b, results = _run_batcher(model, params, encode, imgs, bart_cfg)
+    got = {r.page_id: r.tokens for r in results}
+    assert sorted(got) == list(range(5))
+    for i in range(5):
+        ref = _reference_tokens(model, params, encode, imgs[i], bart_cfg, 12)
+        np.testing.assert_array_equal(got[i], ref)
