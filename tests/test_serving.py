@@ -217,3 +217,32 @@ def test_int8_kv_cache_parity():
     for i in range(5):
         ref = _reference_tokens(model, params, encode, imgs[i], bart_cfg, 12)
         np.testing.assert_array_equal(got[i], ref)
+
+
+def test_swin_family_parity():
+    """The batcher is model-family-generic: the Donut-style Swin encoder +
+    pre-LN mBART stack serves with exact generate() parity too (its decode
+    cache pytree has the same cached_enc_*/self-KV path structure, which is
+    all the splice/compact logic relies on)."""
+    cfg = get_model_config("cruller_swin_test")
+    enc_cfg, bart_cfg, _ = resolve_cruller_cfgs(cfg)
+    model = Cruller(enc_cfg, bart_cfg)
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(4, *enc_cfg.img_size, enc_cfg.in_chans).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(imgs[:1]), jnp.zeros((1, 4), jnp.int32)
+    )
+    import flax.linen as nn
+
+    params = nn.unbox(variables["params"])
+    encode = jax.jit(
+        lambda x: model.apply({"params": params}, x, method="encode")
+    )
+    b, results = _run_batcher(
+        model, params, encode, imgs, bart_cfg, max_length=10
+    )
+    got = {r.page_id: r.tokens for r in results}
+    assert sorted(got) == list(range(4))
+    for i in range(4):
+        ref = _reference_tokens(model, params, encode, imgs[i], bart_cfg, 10)
+        np.testing.assert_array_equal(got[i], ref)
