@@ -57,7 +57,9 @@ class InferCfg:
     # remote-TPU dispatch latency does not tax it)
     continuous: bool = False
     refill_size: int = 0  # encode batch for pool staging (0 = batch_size)
-    chunk_steps: int = 16  # decode steps between refill checks (continuous)
+    # accepted for compatibility; the device-resident serve loop refills
+    # per-step now (ops/serving.py), so this knob is inert
+    chunk_steps: int = 16
     pool_pages: int = 0  # pages staged per pool group (0 = 2*batch_size)
 
 
