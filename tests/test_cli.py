@@ -95,10 +95,13 @@ def test_real_task_cfg_flags():
             "--task.num_intervals", "30",
             "--task.dtype", "bfloat16",
             "--task.mesh.fsdp", "2",
+            "--task.opt.optimizer-state-dtype", "bfloat16",
         ],
     )
     assert ns.task.opt.betas == (0.9, 0.98)
     assert ns.task.opt.clip_grad_mode == "norm"
+    # the bf16-Adam-moments opt-in reaches the optimizer through this flag
+    assert ns.task.opt.optimizer_state_dtype == "bfloat16"
     assert ns.task.num_intervals == 30
     assert ns.task.mesh.fsdp == 2
 
