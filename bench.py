@@ -703,15 +703,18 @@ def bench_serve_decode(
         pool_pages=pool_pages,
     )
 
-    def run_continuous(n):
+    def run_continuous(n, t0=None):
         pages = ((i, image_u8) for i in range(n))
         done = 0
+        t_first = None
         for _ in batcher.run(
             pages, lambda im: encode_jit(params, im),
             max_new_tokens=lambda pid: int(lengths[pid % n_pages]),
         ):
+            if done == 0 and t0 is not None:
+                t_first = time.perf_counter() - t0
             done += 1
-        return done
+        return done, t_first
 
     # dispatch round-trip latency: the cost of EVERY extra host sync the
     # continuous path pays vs batch decode's one-program loop. Through the
@@ -735,11 +738,30 @@ def bench_serve_decode(
     # compaction/refill branches live INSIDE the serve program's conds)
     run_continuous(batcher.G + slots)
 
+    # time-to-first-result: batch decode yields nothing until its first
+    # whole batch (incl. the slowest page) completes; continuous yields
+    # each page as its slot finishes. Both measured from request start on
+    # the identical workload.
     t0 = time.perf_counter()
     run_batched()
     t_batch = time.perf_counter() - t0
+    t_first_batch = None
+    for lo in (0,):  # first batch only, re-run for its first-result time
+        t0 = time.perf_counter()
+        budget = np.zeros((slots,), np.int32)
+        chunk = lengths[lo:lo + slots]
+        budget[: len(chunk)] = chunk
+        budget[len(chunk):] = 1
+        enc = encode_jit(params, jnp.asarray(batch_u8))
+        out = generate(
+            model, params, enc, jnp.full((slots, 1), 1, jnp.int32),
+            max_length=max_length, eos_token_id=-1, pad_token_id=0,
+            max_new_tokens=jnp.asarray(budget),
+        )
+        _read_scalar(out.lengths[0])
+        t_first_batch = time.perf_counter() - t0
     t0 = time.perf_counter()
-    n_done = run_continuous(n_pages)
+    n_done, t_first_cont = run_continuous(n_pages, t0)
     t_cont = time.perf_counter() - t0
     assert n_done == n_pages
 
@@ -749,12 +771,15 @@ def bench_serve_decode(
         f"bench[{label}]: batch {p_batch:.2f} vs continuous {p_cont:.2f} "
         f"pages/s/chip (x{p_cont / p_batch:.2f}, {n_pages} pages, "
         f"lengths U[{max_new // 4},{max_new}], mean {lengths.mean():.0f}, "
-        f"dispatch {dispatch_ms:.1f} ms)"
+        f"dispatch {dispatch_ms:.1f} ms; first result "
+        f"{1e3 * t_first_cont:.0f} vs {1e3 * t_first_batch:.0f} ms batched)"
     )
     return {
         "batched_pages_per_sec_per_chip": round(p_batch, 3),
         "continuous_pages_per_sec_per_chip": round(p_cont, 3),
         "speedup": round(p_cont / p_batch, 3),
+        "first_result_ms_continuous": round(1e3 * t_first_cont, 1),
+        "first_result_ms_batched": round(1e3 * t_first_batch, 1),
         "n_pages": n_pages,
         "length_distribution": f"uniform[{max_new // 4},{max_new}]",
         # workload knobs ride in the record so serve_speedup values are
@@ -1048,6 +1073,10 @@ def main():
             srv["continuous_pages_per_sec_per_chip"]
         )
         extra["serve_speedup"] = srv["speedup"]
+        extra["serve_first_result_ms"] = {
+            "continuous": srv["first_result_ms_continuous"],
+            "batched": srv["first_result_ms_batched"],
+        }
         extra["serve_dispatch_roundtrip_ms"] = srv["dispatch_roundtrip_ms"]
         extra["serve_workload"] = (
             f"{srv['n_pages']} pages, lengths {srv['length_distribution']}, "
